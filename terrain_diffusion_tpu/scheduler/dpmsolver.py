@@ -1,0 +1,231 @@
+"""EDM-formulation DPM-Solver++ as a jitted `lax.scan`.
+
+TPU-native redesign of the reference scheduler
+(`scheduler/dpmsolver.py:74-763`, itself the diffusers
+EDMDPMSolverMultistepScheduler): instead of a stateful per-step `.step()`
+object, the whole sampling trajectory is one functional `lax.scan` whose
+per-step solver order is resolved **statically** (the order schedule depends
+only on step index and config, never on data), so XLA compiles a single
+fused program per (num_steps, shape).
+
+Implements: Karras + exponential sigma schedules with the reference's
+`scaling_p`/`scaling_t` warp, EDM pre-conditioning, TrigFlow noise labels,
+orders 1-2 multistep DPM-Solver++ and the SDE variant, lower-order-final
+logic, `add_noise`, and the AutoGuidance `scale_score_in_velocity` util.
+
+All exp(-h) terms are expressed as sigma ratios so the final sigma=0 step is
+finite without special-casing.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class EDMSchedulerConfig:
+    sigma_min: float = 0.002
+    sigma_max: float = 80.0
+    sigma_data: float = 0.5
+    scaling_p: Optional[float] = None
+    scaling_t: float = 0.05
+    sigma_schedule: str = "karras"  # or "exponential"
+    rho: float = 7.0
+    solver_order: int = 2
+    prediction_type: str = "epsilon"  # or "v_prediction"
+    algorithm_type: str = "dpmsolver++"  # or "sde-dpmsolver++"
+    solver_type: str = "midpoint"  # or "heun"
+    lower_order_final: bool = True
+    euler_at_final: bool = False
+    final_sigmas_type: str = "zero"  # or "sigma_min"
+
+
+def compute_sigmas(cfg: EDMSchedulerConfig, num_steps: int) -> np.ndarray:
+    """num_steps+1 sigmas (descending, final is 0 or sigma_min).
+
+    Matches reference `set_timesteps` + `_compute_karras_sigmas` incl. the
+    scaling_p/scaling_t warp (`dpmsolver.py:329-342`).
+    """
+    ramp = np.linspace(0, 1, num_steps)
+    if cfg.sigma_schedule == "karras":
+        min_inv_rho = cfg.sigma_min ** (1 / cfg.rho)
+        max_inv_rho = cfg.sigma_max ** (1 / cfg.rho)
+        sigmas = (max_inv_rho + ramp * (min_inv_rho - max_inv_rho)) ** cfg.rho
+        if cfg.scaling_p is not None:
+            u = (sigmas - cfg.sigma_min) / (cfg.sigma_max - cfg.sigma_min)
+            base_scale = np.sqrt(np.maximum(0.0, 1 - u**cfg.scaling_p))
+            sigmas = sigmas / (base_scale * (1 - cfg.scaling_t) + cfg.scaling_t)
+    elif cfg.sigma_schedule == "exponential":
+        sigmas = np.exp(np.linspace(np.log(cfg.sigma_min), np.log(cfg.sigma_max), num_steps))[::-1]
+    else:
+        raise ValueError(f"unknown sigma_schedule {cfg.sigma_schedule}")
+    last = cfg.sigma_min if cfg.final_sigmas_type == "sigma_min" else 0.0
+    return np.concatenate([sigmas, [last]]).astype(np.float64)
+
+
+def init_noise_sigma(cfg: EDMSchedulerConfig) -> float:
+    return float((cfg.sigma_max**2 + 1) ** 0.5)
+
+
+def precondition_inputs(sample, sigma, sigma_data: float):
+    c_in = 1.0 / jnp.sqrt(sigma**2 + sigma_data**2)
+    return sample * c_in
+
+
+def precondition_noise(sigma):
+    return 0.25 * jnp.log(sigma)
+
+
+def trigflow_precondition_noise(sigma, sigma_data: float):
+    return jnp.arctan(sigma / sigma_data)
+
+
+def precondition_outputs(sample, model_output, sigma, sigma_data: float,
+                         prediction_type: str = "epsilon"):
+    c_skip = sigma_data**2 / (sigma**2 + sigma_data**2)
+    c_out = sigma * sigma_data / jnp.sqrt(sigma**2 + sigma_data**2)
+    if prediction_type == "v_prediction":
+        c_out = -c_out
+    return c_skip * sample + c_out * model_output
+
+
+def add_noise(original, noise, sigma):
+    return original + noise * sigma
+
+
+def _order_schedule(cfg: EDMSchedulerConfig, num_steps: int) -> np.ndarray:
+    """Static per-step solver order (reference `step()` logic, dpmsolver.py:686-715)."""
+    orders = np.zeros(num_steps, dtype=np.int32)
+    lower_order_nums = 0
+    for i in range(num_steps):
+        lower_order_final = (i == num_steps - 1) and (
+            cfg.euler_at_final
+            or (cfg.lower_order_final and num_steps < 15)
+            or cfg.final_sigmas_type == "zero"
+        )
+        lower_order_second = (
+            (i == num_steps - 2) and cfg.lower_order_final and num_steps < 15
+        )
+        if cfg.solver_order == 1 or lower_order_nums < 1 or lower_order_final:
+            orders[i] = 1
+        elif cfg.solver_order == 2 or lower_order_nums < 2 or lower_order_second:
+            orders[i] = 2
+        else:
+            orders[i] = 3
+        if lower_order_nums < cfg.solver_order:
+            lower_order_nums += 1
+    return orders
+
+
+def _first_order_update(m0, sample, sigma_t, sigma_s0, noise, cfg):
+    ratio = sigma_t / sigma_s0  # == exp(-h); finite at sigma_t == 0
+    if cfg.algorithm_type == "sde-dpmsolver++":
+        r2 = ratio * ratio  # exp(-2h)
+        return (
+            r2 * sample
+            + (1.0 - r2) * m0
+            + sigma_t * jnp.sqrt(jnp.maximum(0.0, 1.0 - r2)) * noise
+        )
+    return ratio * sample - (ratio - 1.0) * m0
+
+
+def _second_order_update(m0, m1, sample, sigma_t, sigma_s0, sigma_s1, noise, cfg):
+    eps = 1e-20
+    st = jnp.maximum(sigma_t, eps)
+    h = jnp.log(sigma_s0 / st)
+    h0 = jnp.log(sigma_s1 / sigma_s0)
+    r0 = h0 / h
+    D0 = m0
+    D1 = (m0 - m1) / r0
+    ratio = sigma_t / sigma_s0  # exp(-h) exact at 0
+    if cfg.algorithm_type == "sde-dpmsolver++":
+        r2 = ratio * ratio
+        if cfg.solver_type == "midpoint":
+            return (
+                r2 * sample
+                + (1.0 - r2) * D0
+                + 0.5 * (1.0 - r2) * D1
+                + sigma_t * jnp.sqrt(jnp.maximum(0.0, 1.0 - r2)) * noise
+            )
+        return (
+            r2 * sample
+            + (1.0 - r2) * D0
+            + ((1.0 - r2) / (-2.0 * h) + 1.0) * D1
+            + sigma_t * jnp.sqrt(jnp.maximum(0.0, 1.0 - r2)) * noise
+        )
+    if cfg.solver_type == "midpoint":
+        return ratio * sample - (ratio - 1.0) * D0 - 0.5 * (ratio - 1.0) * D1
+    return ratio * sample - (ratio - 1.0) * D0 + ((ratio - 1.0) / h + 1.0) * D1
+
+
+def sample_dpm(
+    model_fn: Callable,
+    x_init,
+    cfg: EDMSchedulerConfig,
+    num_steps: int,
+    sde_noise=None,
+):
+    """Run the full DPM-Solver++ trajectory; jit/vmap/shard-map friendly.
+
+    Args:
+        model_fn: ``model_fn(scaled_sample, sigma) -> model_output`` — the
+            raw network evaluated on the pre-conditioned input (caller applies
+            TrigFlow/EDM noise-label conventions inside).
+        x_init: pure-noise sample already scaled by sigmas[0].
+        cfg: scheduler config.
+        num_steps: number of solver steps (static).
+        sde_noise: optional (num_steps, *x.shape) noise for sde-dpmsolver++.
+
+    Returns:
+        Final denoised sample (same shape as x_init).
+    """
+    sigmas = compute_sigmas(cfg, num_steps)
+    orders = _order_schedule(cfg, num_steps)
+    sig_t = jnp.asarray(sigmas[1:], dtype=jnp.float32)
+    sig_s0 = jnp.asarray(sigmas[:-1], dtype=jnp.float32)
+    sig_s1 = jnp.asarray(np.concatenate([[sigmas[0]], sigmas[:-2]]), dtype=jnp.float32)
+    ords = jnp.asarray(orders)
+    if sde_noise is None:
+        sde_noise = jnp.zeros((num_steps,) + x_init.shape, dtype=x_init.dtype)
+
+    def step(carry, xs):
+        sample, m_prev = carry
+        s_t, s_s0, s_s1, order, z = xs
+        scaled = precondition_inputs(sample, s_s0, cfg.sigma_data)
+        model_output = model_fn(scaled, s_s0)
+        m0 = precondition_outputs(sample, model_output, s_s0, cfg.sigma_data,
+                                  cfg.prediction_type)
+        up1 = _first_order_update(m0, sample, s_t, s_s0, z, cfg)
+        up2 = _second_order_update(m0, m_prev, sample, s_t, s_s0, s_s1, z, cfg)
+        new_sample = jnp.where(order == 1, up1, up2)
+        return (new_sample, m0), None
+
+    (final, _), _ = jax.lax.scan(
+        step, (x_init, jnp.zeros_like(x_init)), (sig_t, sig_s0, sig_s1, ords, sde_noise)
+    )
+    return final
+
+
+def scale_score_in_velocity(v0, sample, sigma, model_output, alpha: float = 1.5,
+                            sigma_data: float = 0.5, eps: float = 1e-20):
+    """AutoGuidance helper: scale only the score-parallel component of a
+    velocity (reference `dpmsolver.py:27-72`)."""
+    sigma = jnp.asarray(sigma, dtype=sample.dtype)
+    while sigma.ndim < sample.ndim:
+        sigma = sigma[..., None]
+    sigma2 = sigma * sigma
+    sd2 = sigma_data * sigma_data
+    c_skip = sd2 / (sigma2 + sd2)
+    c_out = sigma * sigma_data / jnp.sqrt(sigma2 + sd2)
+    denoised = c_skip * sample + c_out * model_output
+    d = denoised - sample
+    reduce_dims = tuple(range(1, v0.ndim))
+    dot_vd = jnp.sum(v0 * d, axis=reduce_dims, keepdims=True)
+    dot_dd = jnp.maximum(jnp.sum(d * d, axis=reduce_dims, keepdims=True), eps)
+    v_par = (dot_vd / dot_dd) * d
+    return (v0 - v_par) + alpha * v_par
