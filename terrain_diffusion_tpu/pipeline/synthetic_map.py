@@ -1,0 +1,175 @@
+"""Synthetic conditioning map: Perlin FBm fields quantile-matched to global
+terrain/climate distributions, plus climate-consistency finalization.
+
+Functional rebuild of reference `inference/synthetic_map.py:182-271`:
+five FBm fields (elev / temp / temp-seasonality / precip / precip-CV) with
+per-channel frequency multipliers, quantile-matched to data distributions,
+then `finalize` applies lapse-rate temperature adjustment, sub-20C stretch,
+seasonality re-baselining and precip-CV damping.
+
+Stats come from (in priority order) an explicit stats dict, the reference's
+JSON cache format (`data/global/synthetic_map_stats.json`), or the built-in
+defaults (`terrain_diffusion_tpu.data.default_stats`).  Noise-side quantile
+tables are always computed exactly from our Perlin implementation.
+"""
+from __future__ import annotations
+
+import json
+import os
+import random
+
+import numpy as np
+
+from terrain_diffusion_tpu.ops.perlin import perlin_fbm
+from terrain_diffusion_tpu.pipeline.quantiles import build_quantiles, transform_perlin
+
+STATS_CACHE_PATH = "data/global/synthetic_map_stats.json"
+
+_MAP_CONFIGS = [  # (freq_base, octaves, lacunarity, gain) per channel
+    (0.05, 4, 2.0, 0.5),
+    (0.05, 2, 2.0, 0.5),
+    (0.05, 4, 2.0, 0.5),
+    (0.05, 4, 2.0, 0.5),
+    (0.05, 4, 2.0, 0.5),
+]
+
+_NOISE_Q_CACHE: dict = {}
+
+
+def _noise_quantiles(freq: float, octaves: int, lacunarity: float, gain: float) -> np.ndarray:
+    """Exact FBm value-distribution quantiles (1024x1024 grid, fixed seed 1;
+    the distribution is seed-independent, reference `synthetic_map.py:45-51`)."""
+    key = (round(freq, 9), octaves, lacunarity, gain)
+    if key not in _NOISE_Q_CACHE:
+        size = 32 * 1024
+        xs = np.arange(0, size, 32, dtype=np.float32)
+        xx, yy = np.meshgrid(xs, xs)
+        vals = perlin_fbm(1, freq, octaves, lacunarity, gain, xx.ravel(), yy.ravel())
+        _NOISE_Q_CACHE[key] = build_quantiles(vals, n_quantiles=64, eps=1e-4)
+    return _NOISE_Q_CACHE[key]
+
+
+def load_stats_cache(path: str = STATS_CACHE_PATH):
+    """Read the reference's JSON stats cache format (`synthetic_map.py:134-157`)."""
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path, "r", encoding="utf-8") as f:
+            data = json.load(f)
+        stats = {
+            "a_temp_std": float(data["a_temp_std"]),
+            "b_temp_std": float(data["b_temp_std"]),
+            "temp_std_p1": float(data["temp_std_p1"]),
+            "temp_std_p99": float(data["temp_std_p99"]),
+        }
+        for i, q in enumerate(data["data_quantile_tables"]):
+            stats[f"base_image_quantiles_{i}"] = np.asarray(q, dtype=np.float64)
+        for i, q in enumerate(data.get("noise_quantile_tables", [])):
+            stats[f"noise_quantiles_{i}"] = np.asarray(q, dtype=np.float64)
+        return stats
+    except Exception:
+        return None
+
+
+def save_stats_cache(stats: dict, path: str = STATS_CACHE_PATH):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    payload = {
+        "n_quantiles": 64,
+        "noise_quantile_tables": [
+            np.asarray(stats[f"noise_quantiles_{i}"]).tolist()
+            for i in range(5) if f"noise_quantiles_{i}" in stats
+        ],
+        "data_quantile_tables": [
+            np.asarray(stats[f"base_image_quantiles_{i}"]).tolist() for i in range(5)
+        ],
+        "a_temp_std": float(stats["a_temp_std"]),
+        "b_temp_std": float(stats["b_temp_std"]),
+        "temp_std_p1": float(stats["temp_std_p1"]),
+        "temp_std_p99": float(stats["temp_std_p99"]),
+    }
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(payload, f)
+
+
+def make_synthetic_map_factory(
+    frequency_mult=(1.0, 1.0, 1.0, 1.0, 1.0),
+    seed: int | None = None,
+    drop_water_pct: float = 0.0,
+    stats: dict | None = None,
+    stats_path: str = STATS_CACHE_PATH,
+):
+    """Returns ``sample(i1, j1, i2, j2) -> (5, i2-i1, j2-j1) float32`` with
+    ``.sample_raw`` and ``.finalize`` attributes (reference API surface).
+
+    NOTE on coordinate order: like the reference, the factory's public
+    callables take (i1, j1, i2, j2) and evaluate noise on a meshgrid such
+    that the output is shaped (i2-i1, j2-j1).
+    """
+    actual_seeds = [((seed or random.randint(0, 2**30)) + i + 1) & 0x7FFFFFFF
+                    for i in range(5)]
+    if stats is None:
+        stats = load_stats_cache(stats_path)
+    if stats is None:
+        from terrain_diffusion_tpu.data.default_stats import default_stats
+
+        stats = default_stats(drop_water_pct)
+
+    a_temp_std = float(stats["a_temp_std"])
+    b_temp_std = float(stats["b_temp_std"])
+    temp_std_p1 = float(stats["temp_std_p1"])
+    temp_std_p99 = float(stats["temp_std_p99"])
+
+    chans = []
+    for i, (freq_base, octaves, lac, gain) in enumerate(_MAP_CONFIGS):
+        freq = freq_base * frequency_mult[i]
+        nq = stats.get(f"noise_quantiles_{i}")
+        if nq is None:
+            nq = _noise_quantiles(freq, octaves, lac, gain)
+        bq = np.asarray(stats[f"base_image_quantiles_{i}"], dtype=np.float64)
+        chans.append((actual_seeds[i], freq, octaves, lac, gain, np.asarray(nq), bq))
+
+    def _sample_channel(ch, i1, j1, i2, j2):
+        # Effective field: value at world cell (i, j) = FBm(x=j, y=i) — the
+        # same field the reference produces after its caller-side coordinate
+        # swap (`world_pipeline.py:822-828`).  Unlike the reference factory,
+        # this is position-consistent for non-square regions too.
+        s, freq, octaves, lac, gain, nq, bq = ch
+        ys, xs = np.meshgrid(
+            np.arange(i1, i2, dtype=np.float32),
+            np.arange(j1, j2, dtype=np.float32), indexing="ij")
+        vals = perlin_fbm(s, freq, octaves, lac, gain, xs.ravel(), ys.ravel())
+        vals = transform_perlin(vals, nq, bq)
+        return vals.reshape(i2 - i1, j2 - j1).astype(np.float32)
+
+    def sample_raw(i1, j1, i2, j2) -> np.ndarray:
+        return np.stack([_sample_channel(c, i1, j1, i2, j2) for c in chans], axis=0)
+
+    def finalize(raw_map) -> np.ndarray:
+        elev = np.asarray(raw_map[0], dtype=np.float32)
+        temp = np.asarray(raw_map[1], dtype=np.float32)
+        temp_std = np.asarray(raw_map[2], dtype=np.float32)
+        precip = np.asarray(raw_map[3], dtype=np.float32)
+        precip_std = np.asarray(raw_map[4], dtype=np.float32)
+
+        lapse_rate = np.clip(-6.5 + 0.0015 * precip, -9.8, -4.0) / 1000
+        temp = temp + lapse_rate * np.maximum(0, elev)
+        temp = np.clip(temp, -10, 40)
+        temp = np.where(temp > 20, temp, (temp - 20) * 1.25 + 20)
+
+        t = (temp_std - temp_std_p1) / (temp_std_p99 - temp_std_p1)
+        baseline = np.maximum(temp_std_p1, -(a_temp_std * temp + b_temp_std))
+        temp_std = t * (temp_std_p99 - baseline) + baseline
+        temp_std = temp_std + (a_temp_std * temp + b_temp_std)
+        temp_std = np.maximum(temp_std, 20)
+
+        precip_std = precip_std * np.maximum(0, (185 - 0.04111 * precip) / 185)
+        return np.stack([elev, temp, temp_std, precip, precip_std], axis=0)
+
+    def sample_full(i1, j1, i2, j2) -> np.ndarray:
+        m = finalize(sample_raw(i1, j1, i2, j2))
+        m[0] = np.sign(m[0]) * np.sqrt(np.abs(m[0]))
+        return m.astype(np.float32)
+
+    sample_full.sample_raw = sample_raw
+    sample_full.finalize = finalize
+    return sample_full

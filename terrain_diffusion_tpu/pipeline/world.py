@@ -1,0 +1,809 @@
+"""WorldPipeline: 3-stage lazy hierarchical terrain generation on TPU.
+
+Ground-up rebuild of the reference's heart
+(`inference/world_pipeline.py:276-1385`) on the TPU-native runtime:
+
+- coarse stage: 64-px tiles / stride 48, 20-step DPM-Solver++ **lax.scan**
+  over the coarse U-Net, conditioned on the synthetic map mixed with
+  deterministic noise via TrigFlow cos/sin at per-channel SNR
+  (`world_pipeline.py:909-992`);
+- latent stage: 64-px latent tiles / stride 32, 1-2 TrigFlow consistency
+  steps, batched through padded batch buckets; per-tile 58-dim conditioning
+  vector built **inside** the jitted program from the 4x4 coarse context
+  window (`world_pipeline.py:1018-1203`);
+- decoder stage: 512-px tiles / stride 384, 1-step consistency decode of the
+  x8-nearest-upsampled latents (`world_pipeline.py:1209-1270`);
+- output composition: Laplacian denoise+decode + signed-square for elevation
+  (`:1276-1313`); windowed temperature regression + bilinear grid-sample
+  upsampling for climate (`:1315-1365`).
+
+TPU-first properties: every stage is one jitted program vectorized over a
+tile batch; all stochastic inputs are generated **inside** the programs from
+counter-based threefry keyed on (seed, stage, tile) — identical regardless of
+batch composition or evaluation order (noise_mode='portable' instead feeds
+host PCG64 streams for parity with reference worlds).  Stage weights live on
+device once; only conditioning rasters and packed tile outputs cross the
+host boundary.
+"""
+from __future__ import annotations
+
+import functools
+import json
+import os
+import tempfile
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from terrain_diffusion_tpu.nn import torch_compat
+from terrain_diffusion_tpu.ops import mp
+from terrain_diffusion_tpu.ops.image import (
+    avg_pool,
+    grid_sample_bilinear,
+    max_pool,
+    min_pool,
+    signed_square,
+    upsample_nearest,
+)
+from terrain_diffusion_tpu.ops.laplacian import laplacian_decode, laplacian_denoise
+from terrain_diffusion_tpu.ops.noise_field import (
+    gaussian_noise_patch,
+    threefry_noise_patch,
+)
+from terrain_diffusion_tpu.ops.rng_portable import next_seed
+from terrain_diffusion_tpu.ops.windows import linear_weight_window
+from terrain_diffusion_tpu.pipeline.postprocessing import local_baseline_temperature
+from terrain_diffusion_tpu.pipeline.synthetic_map import make_synthetic_map_factory
+from terrain_diffusion_tpu.runtime import (
+    HDF5TileStore,
+    InfiniteTensor,
+    MemoryTileStore,
+    TensorWindow,
+)
+from terrain_diffusion_tpu.scheduler import (
+    EDMSchedulerConfig,
+    compute_sigmas,
+    precondition_inputs,
+    trigflow_precondition_noise,
+)
+
+# Channel statistics the reference bakes into the pipeline
+# (`world_pipeline.py:358-360`, `:1136-1138`, `:1277-1280`).
+DEFAULT_COARSE_MEANS = [-37.67916460232751, 2.22578822145657, 18.030293275011356,
+                        333.8442390481231, 1350.1259248456176, 52.444339366764396]
+DEFAULT_COARSE_STDS = [39.68515115440358, 3.0981253981231522, 8.940333096712806,
+                       322.25238547630295, 856.3430083394657, 30.982620765341043]
+COND_INPUT_MEAN = np.array([14.99, 11.65, 15.87, 619.26, 833.12, 69.40, 0.66], np.float32)
+COND_INPUT_STD = np.array([21.72, 21.78, 10.40, 452.29, 738.09, 34.59, 0.47], np.float32)
+LOWFREQ_MEAN = -31.4
+LOWFREQ_STD = 38.6
+
+_TEMP_FILES = set()
+
+
+def resolve_hdf5_path(hdf5_file: str) -> str:
+    if hdf5_file.upper() == "TEMP":
+        f = tempfile.NamedTemporaryFile(delete=False, suffix=".h5", prefix="terrain_")
+        f.close()
+        _TEMP_FILES.add(f.name)
+        return f.name
+    return hdf5_file
+
+
+class WorldPipeline:
+    """Multi-scale terrain generation pipeline (TPU-native)."""
+
+    COARSE_MODEL_FOLDER = "coarse_model"
+    BASE_MODEL_FOLDER = "base_model"
+    DECODER_MODEL_FOLDER = "decoder_model"
+    CONFIG_NAME = "config.json"
+
+    # runtime-only keys excluded from the persisted config
+    _RUNTIME_KEYS = ("seed", "latents_batch_size", "log_mode", "cache_limit",
+                     "caching_strategy", "dtype", "noise_mode")
+
+    def __init__(
+        self,
+        seed: int | None = None,
+        latents_batch_size=(1, 2, 4, 8, 16),
+        native_resolution: float = 90.0,
+        *,
+        T: int = 2,
+        log_mode: str = "info",
+        dtype: str | None = None,
+        latent_compression: int = 8,
+        frequency_mult=None,
+        drop_water_pct: float = 0.5,
+        cond_snr=None,
+        coarse_pooling: int = 1,
+        elev_coarse_pool_mode: str = "avg",
+        p5_coarse_pool_mode: str = "avg",
+        residual_mean: float = 0.0,
+        residual_std: float = 1.1678,
+        coarse_means=None,
+        coarse_stds=None,
+        caching_strategy: str = "direct",
+        cache_limit: int | None = 100 * 1024 * 1024,
+        onestep_latent: bool = False,
+        decoder_tile_size: int = 512,
+        decoder_tile_stride: int = 384,
+        noise_mode: str = "threefry",
+        **deprecated_kwargs,
+    ):
+        if T not in (1, 2):
+            raise ValueError(f"T must be 1 or 2, got {T}")
+        self.T = T
+        self.seed = (int(seed) & 0xFFFFFFFFFFFFFFFF) if seed is not None else next_seed(None)
+        if isinstance(latents_batch_size, int):
+            self._batch_sizes = [latents_batch_size]
+        else:
+            self._batch_sizes = sorted(latents_batch_size)
+        self.latents_batch_size = self._batch_sizes[-1]
+        self.native_resolution = native_resolution
+        self.latent_compression = latent_compression
+        self.log_mode = log_mode
+        self.caching_strategy = caching_strategy
+        self.cache_limit = cache_limit
+        self.onestep_latent = onestep_latent
+        self.decoder_tile_size = decoder_tile_size
+        self.decoder_tile_stride = decoder_tile_stride
+        self.noise_mode = noise_mode
+        if dtype == "bf16":
+            self._dtype = jnp.bfloat16
+        elif dtype == "fp16":
+            self._dtype = jnp.float16
+        else:
+            self._dtype = jnp.float32
+        self.kwargs = {
+            "latent_compression": latent_compression,
+            "log_mode": log_mode,
+            "frequency_mult": list(frequency_mult) if frequency_mult is not None else [1.5, 3, 3, 3, 3],
+            "drop_water_pct": drop_water_pct,
+            "cond_snr": list(cond_snr) if cond_snr is not None else [0.3, 0.1, 1.0, 0.1, 1.0],
+            "coarse_pooling": coarse_pooling,
+            "elev_coarse_pool_mode": elev_coarse_pool_mode,
+            "p5_coarse_pool_mode": p5_coarse_pool_mode,
+            "histogram_raw": deprecated_kwargs.get("histogram_raw") or [0.0] * 5,
+            "residual_mean": residual_mean,
+            "residual_std": residual_std,
+            "coarse_means": list(coarse_means) if coarse_means is not None else list(DEFAULT_COARSE_MEANS),
+            "coarse_stds": list(coarse_stds) if coarse_stds is not None else list(DEFAULT_COARSE_STDS),
+        }
+
+        # (model, params) pairs — set by from_local_models/from_pretrained
+        self.coarse_model = None
+        self.coarse_params = None
+        self.base_model = None
+        self.base_params = None
+        self.decoder_model = None
+        self.decoder_params = None
+
+        # runtime state
+        self.tile_store = None
+        self._hdf5_file_path = None
+        self._is_temp_file = False
+        self.synthetic_map_factory = None
+        self.coarse = None
+        self.latents = None
+        self.residual = None
+        self.custom_conditioning_imports = {}
+        self.custom_conditioning_import_origins = {}
+        self.custom_conditioning_default_values = {}
+        self._compiled = {}
+
+    # ==================================================================
+    # Config / model IO
+    # ==================================================================
+    def get_config(self) -> dict:
+        cfg = {
+            "_class_name": "WorldPipeline",
+            "native_resolution": self.native_resolution,
+            "T": self.T,
+            "latent_compression": self.latent_compression,
+            "frequency_mult": self.kwargs["frequency_mult"],
+            "drop_water_pct": self.kwargs["drop_water_pct"],
+            "cond_snr": self.kwargs["cond_snr"],
+            "coarse_pooling": self.kwargs["coarse_pooling"],
+            "elev_coarse_pool_mode": self.kwargs["elev_coarse_pool_mode"],
+            "p5_coarse_pool_mode": self.kwargs["p5_coarse_pool_mode"],
+            "residual_mean": self.kwargs["residual_mean"],
+            "residual_std": self.kwargs["residual_std"],
+            "coarse_means": self.kwargs["coarse_means"],
+            "coarse_stds": self.kwargs["coarse_stds"],
+            "onestep_latent": self.onestep_latent,
+            "decoder_tile_size": self.decoder_tile_size,
+            "decoder_tile_stride": self.decoder_tile_stride,
+        }
+        return cfg
+
+    def save_pretrained(self, save_directory: str):
+        os.makedirs(save_directory, exist_ok=True)
+        with open(os.path.join(save_directory, self.CONFIG_NAME), "w") as f:
+            json.dump(self.get_config(), f, indent=2)
+        if self.coarse_model is not None:
+            torch_compat.save_model(self.coarse_model, self.coarse_params,
+                                    os.path.join(save_directory, self.COARSE_MODEL_FOLDER))
+        if self.base_model is not None:
+            torch_compat.save_model(self.base_model, self.base_params,
+                                    os.path.join(save_directory, self.BASE_MODEL_FOLDER))
+        if self.decoder_model is not None:
+            torch_compat.save_model(self.decoder_model, self.decoder_params,
+                                    os.path.join(save_directory, self.DECODER_MODEL_FOLDER))
+
+    @classmethod
+    def from_pretrained(cls, path: str, **kwargs) -> "WorldPipeline":
+        with open(os.path.join(path, cls.CONFIG_NAME)) as f:
+            config = json.load(f)
+        config.pop("_class_name", None)
+        config.update(kwargs)
+        pipe = cls(**config)
+        pipe.coarse_model, pipe.coarse_params = torch_compat.load_model(
+            os.path.join(path, cls.COARSE_MODEL_FOLDER))
+        pipe.base_model, pipe.base_params = torch_compat.load_model(
+            os.path.join(path, cls.BASE_MODEL_FOLDER))
+        pipe.decoder_model, pipe.decoder_params = torch_compat.load_model(
+            os.path.join(path, cls.DECODER_MODEL_FOLDER))
+        return pipe
+
+    @classmethod
+    def from_local_models(cls, coarse_model_path=None, base_model_path=None,
+                          decoder_model_path=None, **kwargs) -> "WorldPipeline":
+        pipe = cls(**kwargs)
+        pipe.coarse_model, pipe.coarse_params = torch_compat.load_model(coarse_model_path)
+        pipe.base_model, pipe.base_params = torch_compat.load_model(base_model_path)
+        pipe.decoder_model, pipe.decoder_params = torch_compat.load_model(decoder_model_path)
+        return pipe
+
+    def set_models(self, coarse, base, decoder):
+        """Attach (model, params) pairs directly (tests, custom loading)."""
+        self.coarse_model, self.coarse_params = coarse
+        self.base_model, self.base_params = base
+        self.decoder_model, self.decoder_params = decoder
+        return self
+
+    # ==================================================================
+    # Bind / lifecycle
+    # ==================================================================
+    def bind(self, hdf5_file=None, mode="a", compression="gzip", compression_opts=4):
+        self._compression = compression
+        self._compression_opts = compression_opts
+        if self.caching_strategy == "direct":
+            self.tile_store = MemoryTileStore(cache_size_bytes=self.cache_limit)
+        else:
+            if hdf5_file is None:
+                raise ValueError("hdf5_file is required when caching_strategy='indirect'")
+            original = hdf5_file
+            hdf5_file = resolve_hdf5_path(hdf5_file)
+            self._is_temp_file = original.upper() == "TEMP"
+            self._hdf5_file_path = hdf5_file
+            store = HDF5TileStore(hdf5_file, mode=mode, compression=compression,
+                                  compression_opts=compression_opts)
+            self._reconcile_params(store)
+            self.tile_store = store
+        self._init_conditioning()
+        self._build_hierarchy()
+        return self
+
+    def _reconcile_params(self, store: HDF5TileStore):
+        """Stored params win on mismatch (non-interactive equivalent of the
+        reference's overwrite prompt, `world_pipeline.py:625-663`)."""
+        current = {"seed": self.seed, "kwargs": self.kwargs}
+        stored = store.get_params()
+        if stored is None:
+            store.set_params(current)
+            return
+        if stored != current:
+            print("[WorldPipeline] stored world params differ; using stored "
+                  "(pass a fresh file or call rebuild() to regenerate)")
+            self.seed = stored["seed"]
+            self.kwargs = stored["kwargs"]
+
+    def _init_conditioning(self):
+        self.synthetic_map_factory = make_synthetic_map_factory(
+            seed=self.seed,
+            frequency_mult=self.kwargs["frequency_mult"],
+            drop_water_pct=self.kwargs["drop_water_pct"],
+        )
+
+    def _build_hierarchy(self):
+        self._compiled = {}
+        self.coarse = self._build_coarse_stage()
+        self.latents = self._build_latent_stage()
+        self.residual = self._build_decoder_stage()
+
+    def empty_cache(self):
+        if self.tile_store is None:
+            return
+        for t in (self.coarse, self.latents, self.residual):
+            if t is not None:
+                t.clear_cache()
+
+    def close(self):
+        if self.tile_store is not None and hasattr(self.tile_store, "close"):
+            self.tile_store.close()
+        if self._is_temp_file and self._hdf5_file_path in _TEMP_FILES:
+            try:
+                os.unlink(self._hdf5_file_path)
+            except OSError:
+                pass
+            _TEMP_FILES.discard(self._hdf5_file_path)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    def rebuild(self):
+        if self.tile_store is None:
+            return
+        if self.caching_strategy == "direct":
+            self.tile_store = MemoryTileStore(cache_size_bytes=self.cache_limit)
+        else:
+            self.tile_store.close()
+            os.unlink(self._hdf5_file_path)
+            store = HDF5TileStore(self._hdf5_file_path, mode="a",
+                                  compression=self._compression,
+                                  compression_opts=self._compression_opts)
+            store.set_params({"seed": self.seed, "kwargs": self.kwargs})
+            self.tile_store = store
+        self._init_conditioning()
+        self._build_hierarchy()
+
+    def change_seed(self, seed: int | None = None) -> bool:
+        new_seed = (int(seed) & 0xFFFFFFFFFFFFFFFF) if seed is not None else next_seed(None)
+        if new_seed == self.seed:
+            return False
+        self.seed = new_seed
+        self.rebuild()
+        return True
+
+    def set_cond_snr(self, cond_snr) -> None:
+        if len(cond_snr) != 5:
+            raise ValueError("cond_snr must contain exactly 5 values.")
+        self.kwargs["cond_snr"] = [float(x) for x in cond_snr]
+        self.rebuild()
+
+    # ==================================================================
+    # Custom conditioning imports (tiff-export path)
+    # ==================================================================
+    def _has_custom_conditioning_imports(self) -> bool:
+        return bool(self.custom_conditioning_imports)
+
+    def set_custom_conditioning_import(self, channel: int, values: np.ndarray,
+                                       origin_i: int, origin_j: int,
+                                       default_value: float | None = None) -> None:
+        values = np.asarray(values, dtype=np.float32)
+        if values.ndim != 2:
+            raise ValueError("Custom conditioning import must be a 2-D array.")
+        channel = int(channel)
+        self.custom_conditioning_imports[channel] = values.copy()
+        self.custom_conditioning_import_origins[channel] = (int(origin_i), int(origin_j))
+        if default_value is None:
+            self.custom_conditioning_default_values.pop(channel, None)
+        else:
+            self.custom_conditioning_default_values[channel] = float(default_value)
+        self.rebuild()
+
+    def _sample_custom_conditioning_channel(self, channel, ci0, ci1, cj0, cj1):
+        import_values = self.custom_conditioning_imports.get(channel)
+        default_value = self.custom_conditioning_default_values.get(channel)
+        if import_values is None and default_value is None:
+            return None, None
+        h, w = ci1 - ci0, cj1 - cj0
+        if default_value is None:
+            values = np.zeros((h, w), dtype=np.float32)
+            mask = np.zeros((h, w), dtype=bool)
+        else:
+            values = np.full((h, w), float(default_value), dtype=np.float32)
+            mask = np.ones((h, w), dtype=bool)
+        if import_values is not None:
+            src_i0, src_j0 = self.custom_conditioning_import_origins[channel]
+            src_i1 = src_i0 + import_values.shape[0]
+            src_j1 = src_j0 + import_values.shape[1]
+            oi0, oi1 = max(ci0, src_i0), min(ci1, src_i1)
+            oj0, oj1 = max(cj0, src_j0), min(cj1, src_j1)
+            if oi0 < oi1 and oj0 < oj1:
+                values[oi0 - ci0:oi1 - ci0, oj0 - cj0:oj1 - cj0] = import_values[
+                    oi0 - src_i0:oi1 - src_i0, oj0 - src_j0:oj1 - src_j0]
+                mask[oi0 - ci0:oi1 - ci0, oj0 - cj0:oj1 - cj0] = True
+        if not mask.any():
+            return None, None
+        return values, mask
+
+    def _conditioning_model_input(self, ci0, ci1, cj0, cj1) -> np.ndarray:
+        """(5, H, W) float32 conditioning for the coarse U-Net
+        (`world_pipeline.py:873-903`)."""
+        if not self._has_custom_conditioning_imports():
+            return self.synthetic_map_factory(ci0, cj0, ci1, cj1)
+        raw = np.asarray(self.synthetic_map_factory.sample_raw(ci0, cj0, ci1, cj1),
+                         dtype=np.float32)
+        for channel in range(raw.shape[0]):
+            values, mask = self._sample_custom_conditioning_channel(
+                channel, ci0, ci1, cj0, cj1)
+            if values is not None:
+                raw[channel][mask] = values[mask]
+        raw[0] = np.sign(raw[0]) * np.sqrt(np.abs(raw[0]))
+        return raw
+
+    # ==================================================================
+    # Noise
+    # ==================================================================
+    def _noise_in_program(self, seed: int, y0, x0, h, w, channels, tile):
+        """Noise patch inside a jitted program (threefry) with traced y0/x0."""
+        return threefry_noise_patch(seed=seed, y0=y0, x0=x0, h=h, w=w,
+                                    channels=channels, tile_h=tile, tile_w=tile)
+
+    def _noise_host(self, seed, y0, x0, h, w, channels, tile):
+        if self.noise_mode == "portable":
+            return gaussian_noise_patch(seed, y0, x0, h, w, channels, tile, tile)
+        return np.asarray(self._noise_in_program(seed, y0, x0, h, w, channels, tile))
+
+    # ==================================================================
+    # Coarse stage
+    # ==================================================================
+    def _build_coarse_stage(self):
+        TILE, STRIDE = 64, 48
+        pool = self.kwargs["coarse_pooling"]
+        assert TILE % pool == 0 and STRIDE % pool == 0
+        cfg = EDMSchedulerConfig(sigma_min=0.002, sigma_max=80, sigma_data=0.5)
+        sigmas0 = float(compute_sigmas(cfg, 20)[0])
+        means = np.asarray(self.kwargs["coarse_means"], np.float32)
+        stds = np.asarray(self.kwargs["coarse_stds"], np.float32)
+        cond_means = means[[0, 2, 3, 4, 5]]
+        cond_stds = stds[[0, 2, 3, 4, 5]]
+        t_cond = np.arctan(np.asarray(self.kwargs["cond_snr"], np.float32))
+        cond_scalar_vals = np.log(np.tan(t_cond) / 8.0)
+        wwin = jnp.asarray(linear_weight_window(TILE // pool))
+        seed = self.seed
+        model, params = self.coarse_model, self.coarse_params
+        dt = self._dtype
+        threefry = self.noise_mode == "threefry"
+        pool_modes = (self.kwargs["elev_coarse_pool_mode"],
+                      self.kwargs["p5_coarse_pool_mode"])
+
+        @functools.partial(jax.jit, static_argnames=("bsz",))
+        def coarse_prog(ii, jj, cond_map, cond_noise_in, sample_noise_in, mparams, bsz):
+            # cond_map: (B, 5, 64, 64) normalized; noise inputs used when not threefry
+            def one(i1, j1, cond, cnoise_in, snoise_in):
+                if threefry:
+                    cond_noise = self._noise_in_program(seed, i1, j1, TILE, TILE, 5, TILE)
+                    sample_noise = self._noise_in_program(seed + 1, i1, j1, TILE, TILE, 6, TILE)
+                else:
+                    cond_noise, sample_noise = cnoise_in, snoise_in
+                tc = jnp.asarray(t_cond).reshape(-1, 1, 1)
+                cond_img = jnp.cos(tc) * cond + jnp.sin(tc) * cond_noise  # (5,64,64)
+                x = sample_noise * sigmas0  # (6,64,64)
+
+                cond_scalars = [jnp.asarray([v], dtype=dt) for v in cond_scalar_vals]
+                emb = model.compute_embeddings(
+                    mparams, None, None) if False else None
+
+                def model_fn(scaled, sigma):
+                    cnoise = trigflow_precondition_noise(sigma, cfg.sigma_data)
+                    x_in = jnp.concatenate([scaled, cond_img], axis=0)  # (11,64,64)
+                    x_in = jnp.transpose(x_in, (1, 2, 0))[None].astype(dt)  # NHWC
+                    out = model.apply(mparams, x_in, jnp.full((1,), cnoise, dtype=dt),
+                                      cond_scalars, compute_dtype=dt)
+                    return jnp.transpose(out[0], (2, 0, 1)).astype(jnp.float32)
+
+                from terrain_diffusion_tpu.scheduler import sample_dpm
+
+                sample = sample_dpm(model_fn, x, cfg, 20)
+                sample = sample / cfg.sigma_data
+                sample = sample * jnp.asarray(stds).reshape(-1, 1, 1) + \
+                    jnp.asarray(means).reshape(-1, 1, 1)
+                sample = sample.at[1].set(sample[0] - sample[1])
+                if pool > 1:
+                    ch0 = {"max": max_pool, "min": min_pool}.get(pool_modes[0], avg_pool)(
+                        sample[0:1], pool)
+                    ch1 = {"max": max_pool, "min": min_pool}.get(pool_modes[1], avg_pool)(
+                        sample[1:2], pool)
+                    rest = avg_pool(sample[2:], pool)
+                    sample = jnp.concatenate([ch0, ch1, rest], axis=0)
+                return jnp.concatenate([sample * wwin[None], wwin[None]], axis=0)
+
+            return jax.vmap(one)(ii, jj, cond_map, cond_noise_in, sample_noise_in)
+
+        def f(ctxs):
+            B = len(ctxs)
+            if self.log_mode == "verbose":
+                print(f"Coarse f batch {B} at {[tuple(c) for c in ctxs]}")
+            conds, cns, sns = [], [], []
+            i1s, j1s = [], []
+            for ctx in ctxs:
+                _, i, j = int(ctx[0]), int(ctx[1]), int(ctx[2])
+                i1 = (i * (STRIDE // pool)) * pool
+                j1 = (j * (STRIDE // pool)) * pool
+                i1s.append(i1)
+                j1s.append(j1)
+                cond = self._conditioning_model_input(i1, i1 + TILE, j1, j1 + TILE)
+                cond = (cond - cond_means[:, None, None]) / cond_stds[:, None, None]
+                conds.append(cond)
+                if threefry:
+                    cns.append(np.zeros((5, TILE, TILE), np.float32))
+                    sns.append(np.zeros((6, TILE, TILE), np.float32))
+                else:
+                    cns.append(self._noise_host(seed, i1, j1, TILE, TILE, 5, TILE))
+                    sns.append(self._noise_host(seed + 1, i1, j1, TILE, TILE, 6, TILE))
+            out = coarse_prog(
+                jnp.asarray(i1s), jnp.asarray(j1s),
+                jnp.asarray(np.stack(conds)), jnp.asarray(np.stack(cns)),
+                jnp.asarray(np.stack(sns)), params, bsz=B)
+            return np.asarray(out, dtype=np.float32)
+
+        return InfiniteTensor(
+            shape=(7, None, None), f=f,
+            output_window=TensorWindow((7, TILE // pool, TILE // pool),
+                                       (7, STRIDE // pool, STRIDE // pool)),
+            batch_size=4, vectorized=True, batch_buckets=(1, 2, 4),
+            tile_store=self.tile_store, tensor_id="base_coarse_map")
+
+    # ==================================================================
+    # Latent stage
+    # ==================================================================
+    def _latent_program(self, t_value: float, seed_offset: int, with_prev: bool):
+        TILE, STRIDE = 64, 32
+        cfg = EDMSchedulerConfig(sigma_min=0.002, sigma_max=80, sigma_data=0.5)
+        sd = cfg.sigma_data
+        hist_raw = np.asarray(self.kwargs["histogram_raw"], np.float32)
+        model, params = self.base_model, self.base_params
+        dt = self._dtype
+        seed = self.seed
+        threefry = self.noise_mode == "threefry"
+
+        def build_cond(coarse_region):
+            """58-dim conditioning vector from a (7,4,4) coarse window
+            (reference `_process_latent_conditioning`, :1018-1050)."""
+            vals = coarse_region[:-1] / coarse_region[-1:]
+            cond = jnp.concatenate([vals, jnp.ones((1, 4, 4))], axis=0)  # (7,4,4)
+            cond = (cond - COND_INPUT_MEAN[:, None, None]) / COND_INPUT_STD[:, None, None]
+            cond = cond.at[0:2].set(jnp.nan_to_num(cond[0:2], nan=0.0))
+            means_crop = cond[0].reshape(-1)
+            p5_crop = cond[1].reshape(-1)
+            climate = cond[2:6, 1:3, 1:3].mean(axis=(1, 2))
+            climate = jnp.nan_to_num(climate, nan=0.0)
+            mask_crop = cond[6].reshape(-1)
+            noise_level_norm = jnp.asarray([(0.0 - 0.5) * np.sqrt(12)], jnp.float32)
+            return mp.mp_concat(
+                [means_crop, p5_crop, climate, mask_crop,
+                 jnp.asarray(hist_raw), noise_level_norm], axis=0)
+
+        @jax.jit
+        def prog(ctx_i, ctx_j, coarse_regions, prev_regions, noise_in, mparams):
+            def one(ci, cj, coarse_region, prev_region, z_in):
+                if with_prev:
+                    prev = prev_region[:-1] / prev_region[-1:] * sd  # (5,64,64)
+                else:
+                    prev = jnp.zeros((5, TILE, TILE), jnp.float32)
+                cond_vec = build_cond(coarse_region)
+                if threefry:
+                    z = self._noise_in_program(seed + seed_offset, ci * STRIDE,
+                                               cj * STRIDE, TILE, TILE, 5, TILE)
+                else:
+                    z = z_in
+                t = jnp.float32(t_value)
+                x_t = jnp.cos(t) * prev + jnp.sin(t) * (z * sd)
+                model_in = x_t / sd
+                return x_t, model_in, cond_vec
+
+            x_ts, model_ins, cond_vecs = jax.vmap(one)(
+                ctx_i, ctx_j, coarse_regions, prev_regions, noise_in)
+            B = model_ins.shape[0]
+            x_in = jnp.transpose(model_ins, (0, 2, 3, 1)).astype(dt)  # NHWC
+            t = jnp.float32(t_value)
+            nl = jnp.full((B,), t, dtype=dt)
+            pred = -model.apply(mparams, x_in, nl, [cond_vecs.astype(dt)],
+                                compute_dtype=dt)
+            pred = jnp.transpose(pred, (0, 3, 1, 2)).astype(jnp.float32)
+            sample = jnp.cos(t) * x_ts - jnp.sin(t) * sd * pred
+            sample = sample / sd
+            wwin = jnp.asarray(linear_weight_window(TILE))
+            return jnp.concatenate(
+                [sample * wwin[None, None], jnp.broadcast_to(wwin, (B, 1, TILE, TILE))],
+                axis=1)
+
+        def make_f():
+            def f(ctxs, *regions):
+                B = len(ctxs)
+                if self.log_mode == "verbose":
+                    print(f"Latent f ({'step' if with_prev else 'init'}) batch {B}")
+                if with_prev:
+                    prevs, coarses = regions
+                else:
+                    (coarses,) = regions
+                    prevs = np.zeros((B, 6, TILE, TILE), np.float32)
+                if threefry:
+                    noise = np.zeros((B, 5, TILE, TILE), np.float32)
+                else:
+                    noise = np.stack([
+                        self._noise_host(seed + seed_offset, int(c[1]) * STRIDE,
+                                         int(c[2]) * STRIDE, TILE, TILE, 5, TILE)
+                        for c in ctxs])
+                out = prog(jnp.asarray(ctxs[:, 1]), jnp.asarray(ctxs[:, 2]),
+                           jnp.asarray(coarses), jnp.asarray(prevs),
+                           jnp.asarray(noise), params)
+                return np.asarray(out, dtype=np.float32)
+            return f
+
+        return make_f()
+
+    def _build_latent_stage(self):
+        TILE, STRIDE = 64, 32
+        cfg = EDMSchedulerConfig(sigma_min=0.002, sigma_max=80, sigma_data=0.5)
+        sigmas0 = float(compute_sigmas(cfg, 20)[0])
+        t_init = float(np.arctan(sigmas0 / cfg.sigma_data))
+        T_INTER = [float(np.arctan(0.35 / 0.5))]
+        out_win = TensorWindow((6, TILE, TILE), (6, STRIDE, STRIDE))
+        coarse_win = TensorWindow((7, 4, 4), (7, 1, 1), offset=(0, -1, -1))
+        buckets = tuple(self._batch_sizes)
+
+        init_f = self._latent_program(t_init, 5819, with_prev=False)
+        tensor = InfiniteTensor(
+            shape=(6, None, None), f=init_f, output_window=out_win,
+            args=(self.coarse,), args_windows=(coarse_win,),
+            batch_size=self.latents_batch_size, vectorized=True,
+            batch_buckets=buckets, tile_store=self.tile_store,
+            tensor_id="init_latent_map" if self.T == 2 else "latent_map_T1")
+
+        if not self.onestep_latent:
+            for i, t in enumerate(T_INTER):
+                step_f = self._latent_program(t, 5820 + i, with_prev=True)
+                tensor = InfiniteTensor(
+                    shape=(6, None, None), f=step_f, output_window=out_win,
+                    args=(tensor, self.coarse), args_windows=(out_win, coarse_win),
+                    batch_size=self.latents_batch_size, vectorized=True,
+                    batch_buckets=buckets, tile_store=self.tile_store,
+                    tensor_id=f"step_latent_map_{i}")
+        return tensor
+
+    # ==================================================================
+    # Decoder stage
+    # ==================================================================
+    def _build_decoder_stage(self):
+        TILE = self.decoder_tile_size
+        STRIDE = self.decoder_tile_stride
+        lc = self.latent_compression
+        cfg = EDMSchedulerConfig(sigma_min=0.002, sigma_max=80, sigma_data=0.5)
+        sd = cfg.sigma_data
+        sigmas0 = float(compute_sigmas(cfg, 20)[0])
+        t_list = [float(np.arctan(sigmas0 / sd))]
+        wwin_np = linear_weight_window(TILE)
+        model, params = self.decoder_model, self.decoder_params
+        dt = self._dtype
+        seed = self.seed
+        threefry = self.noise_mode == "threefry"
+
+        @jax.jit
+        def prog(ctx_i, ctx_j, latents_regions, noise_in, mparams):
+            def one(ci, cj, latents_region, z_in):
+                lat = (latents_region[:-1] / latents_region[-1:])[:4]
+                up = upsample_nearest(lat, lc)  # (4, TILE, TILE)
+                sample = jnp.zeros((1, TILE, TILE), jnp.float32)
+                for step, t_val in enumerate(t_list):
+                    if threefry:
+                        z = self._noise_in_program(seed + 5819 + step, ci * STRIDE,
+                                                   cj * STRIDE, TILE, TILE, 1, TILE)
+                    else:
+                        z = z_in[step]
+                    t = jnp.float32(t_val)
+                    x_t = jnp.cos(t) * sample + jnp.sin(t) * (z * sd)
+                    model_in = jnp.concatenate([x_t / sd, up], axis=0)  # (5,T,T)
+                    x_in = jnp.transpose(model_in, (1, 2, 0))[None].astype(dt)
+                    pred = -model.apply(mparams, x_in, jnp.full((1,), t, dtype=dt),
+                                        [], compute_dtype=dt)
+                    pred = jnp.transpose(pred[0], (2, 0, 1)).astype(jnp.float32)
+                    sample = jnp.cos(t) * x_t - jnp.sin(t) * sd * pred
+                sample = sample / sd
+                wwin = jnp.asarray(wwin_np)
+                return jnp.concatenate([sample * wwin[None], wwin[None]], axis=0)
+
+            return jax.vmap(one)(ctx_i, ctx_j, latents_regions, noise_in)
+
+        def f(ctxs, latents_regions):
+            B = len(ctxs)
+            if self.log_mode == "verbose":
+                print(f"Residual f batch {B} at {[tuple(c) for c in ctxs]}")
+            if threefry:
+                noise = np.zeros((B, len(t_list), 1, TILE, TILE), np.float32)
+            else:
+                noise = np.stack([
+                    np.stack([
+                        self._noise_host(seed + 5819 + s, int(c[1]) * STRIDE,
+                                         int(c[2]) * STRIDE, TILE, TILE, 1, TILE)
+                        for s in range(len(t_list))])
+                    for c in ctxs])
+            out = prog(jnp.asarray(ctxs[:, 1]), jnp.asarray(ctxs[:, 2]),
+                       jnp.asarray(latents_regions), jnp.asarray(noise), params)
+            return np.asarray(out, dtype=np.float32)
+
+        out_win = TensorWindow((2, TILE, TILE), (2, STRIDE, STRIDE))
+        in_win = TensorWindow((6, TILE // lc, TILE // lc),
+                              (6, STRIDE // lc, STRIDE // lc))
+        return InfiniteTensor(
+            shape=(2, None, None), f=f, output_window=out_win,
+            args=(self.latents,), args_windows=(in_win,),
+            batch_size=2, vectorized=True, batch_buckets=(1, 2),
+            tile_store=self.tile_store, tensor_id="init_residual_map")
+
+    # ==================================================================
+    # Output composition
+    # ==================================================================
+    def _compute_elev(self, i1, j1, i2, j2, scale: int) -> np.ndarray:
+        """Elevation in meters for [i1:i2) x [j1:j2)
+        (reference `_compute_elev`, :1276-1313)."""
+        RES_MEAN = self.kwargs["residual_mean"]
+        RES_STD = self.kwargs["residual_std"]
+        sigma = 5
+        kernel_size = (int(sigma * 2) // 2) * 2 + 1
+        pad_lr = kernel_size // 2 + 1
+        pad_hr = pad_lr * scale
+
+        def ceil_div(a, b):
+            return -((-a) // b)
+
+        pi1 = ((i1 - pad_hr) // scale) * scale
+        pj1 = ((j1 - pad_hr) // scale) * scale
+        pi2 = ceil_div(i2 + pad_hr, scale) * scale
+        pj2 = ceil_div(j2 + pad_hr, scale) * scale
+
+        residual_init = self.residual[:, pi1:pi2, pj1:pj2]
+        residual_p = (residual_init[0] / residual_init[1]) * RES_STD + RES_MEAN
+        latents_init = self.latents[:, pi1 // scale:pi2 // scale, pj1 // scale:pj2 // scale]
+        latents_norm = latents_init[:-1] / latents_init[-1:]
+        lowfreq_p = latents_norm[4] * LOWFREQ_STD + LOWFREQ_MEAN
+
+        r, l = laplacian_denoise(jnp.asarray(residual_p)[None],
+                                 jnp.asarray(lowfreq_p)[None], sigma=sigma)
+        elev_p = laplacian_decode(r, l)[0]
+        oi, oj = i1 - pi1, j1 - pj1
+        elev_sqrt = elev_p[oi:oi + (i2 - i1), oj:oj + (j2 - j1)]
+        return np.asarray(signed_square(elev_sqrt), dtype=np.float32)
+
+    def _compute_climate(self, i1, j1, i2, j2, elev: np.ndarray, scale: int) -> np.ndarray:
+        """(5, H, W) climate [temp, t_season, precip, p_cv, beta]
+        (reference `_compute_climate`, :1315-1365)."""
+
+        def ceil_div(a, b):
+            return -((-a) // b)
+
+        S = 32 * scale
+        ci1, cj1 = i1 // S, j1 // S
+        ci2, cj2 = ceil_div(i2, S), ceil_div(j2, S)
+        win = 15
+        pad = (win - 1) // 2 + 1
+        coarse_init = self.coarse[:, ci1 - pad:ci2 + pad, cj1 - pad:cj2 + pad]
+        coarse_map = jnp.asarray(coarse_init[:-1] / coarse_init[-1:])
+        coarse_elev = jnp.sign(coarse_map[0]) * jnp.square(
+            jnp.maximum(0.0, coarse_map[0]))
+        temp_baseline, beta = local_baseline_temperature(
+            coarse_map[2], coarse_elev, win=win, fallback_threshold=0.02)
+        central = coarse_map[:, win // 2:-(win // 2), win // 2:-(win // 2)]
+
+        H_src = temp_baseline.shape[-2]
+        W_src = temp_baseline.shape[-1]
+        ii, jj = np.meshgrid(np.arange(i1, i2), np.arange(j1, j2), indexing="ij")
+        u = (ii + 0.5) / S - ci1 + 0.5
+        v = (jj + 0.5) / S - cj1 + 0.5
+        grid_y = (u + 0.5) * 2 / H_src - 1
+        grid_x = (v + 0.5) * 2 / W_src - 1
+        grid = jnp.asarray(np.stack([grid_x, grid_y], axis=-1), jnp.float32)
+
+        features = jnp.concatenate(
+            [temp_baseline[None], beta[None], central], axis=0)
+        feats_up = grid_sample_bilinear(features, grid)
+        temp_realistic = feats_up[0] + feats_up[1] * jnp.maximum(jnp.asarray(elev), 0.0)
+        climate = jnp.stack([temp_realistic, feats_up[2 + 3], feats_up[2 + 4],
+                             feats_up[2 + 5], feats_up[1]])
+        return np.asarray(climate, dtype=np.float32)
+
+    def get(self, i1, j1, i2, j2, with_climate: bool = True) -> dict:
+        """Terrain for bounding box: elev (H, W) meters [+ climate (5, H, W)]."""
+        elev = self._compute_elev(i1, j1, i2, j2, scale=self.latent_compression)
+        climate = (self._compute_climate(i1, j1, i2, j2, elev,
+                                         scale=self.latent_compression)
+                   if with_climate else None)
+        return {"elev": elev, "climate": climate}

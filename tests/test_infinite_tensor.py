@@ -1,0 +1,191 @@
+"""InfiniteTensor runtime: window algebra, order-invariance, batching,
+dependency DAG planning, tile stores."""
+import numpy as np
+import pytest
+
+from terrain_diffusion_tpu.runtime import (
+    InfiniteTensor,
+    MemoryTileStore,
+    HDF5TileStore,
+    TensorWindow,
+)
+from terrain_diffusion_tpu.ops.noise_field import gaussian_noise_patch
+from terrain_diffusion_tpu.ops.windows import linear_weight_window, normalize_weighted
+
+
+def test_window_algebra():
+    w = TensorWindow(size=(7, 64, 64), stride=(7, 48, 48))
+    assert w.box((0, 0, 0)) == ((0, 7), (0, 64), (0, 64))
+    assert w.box((0, -1, 2)) == ((0, 7), (-48, 16), (96, 160))
+    # windows overlapping a region
+    idxs = list(w.windows_overlapping([(0, 7), (0, 64), (0, 64)]))
+    ij = {(i, j) for _, i, j in idxs}
+    # windows at stride 48 covering [0,64): i=-1 ([-48,16)), i=0, i=1 ([48,112))
+    assert ij == {(a, b) for a in (-1, 0, 1) for b in (-1, 0, 1)}
+
+
+def test_window_offset():
+    w = TensorWindow(size=(7, 4, 4), stride=(7, 1, 1), offset=(0, -1, -1))
+    assert w.box((0, 3, 5)) == ((0, 7), (2, 6), (4, 8))
+
+
+def _noise_window_tensor(store, tile=32, stride=24, channels=2, seed=5):
+    """Simple leaf tensor: weighted noise + weight channel."""
+    wwin = linear_weight_window(tile)
+
+    def f(ctx):
+        _, i, j = ctx
+        vals = gaussian_noise_patch(seed, i * stride, j * stride, tile, tile,
+                                    channels=channels, tile_h=tile, tile_w=tile)
+        return np.concatenate([vals * wwin[None], wwin[None]], axis=0)
+
+    return InfiniteTensor(
+        shape=(channels + 1, None, None), f=f,
+        output_window=TensorWindow((channels + 1, tile, tile), (channels + 1, stride, stride)),
+        tile_store=store, tensor_id="leaf")
+
+
+def test_order_invariance():
+    """Any slice order / partition yields identical pixels — the O(1) random
+    access contract."""
+    s1 = MemoryTileStore()
+    t1 = _noise_window_tensor(s1)
+    whole = t1[:, -30:50, -10:70]
+
+    s2 = MemoryTileStore()
+    t2 = _noise_window_tensor(s2)
+    # read in scrambled small pieces first
+    for y0, x0 in [(13, 37), (-30, -10), (40, 60), (0, 0)]:
+        t2[:, y0 : y0 + 5, x0 : x0 + 5]
+    whole2 = t2[:, -30:50, -10:70]
+    np.testing.assert_array_equal(whole, whole2)
+
+    # piecewise assembly equals whole
+    top = t2[:, -30:10, -10:70]
+    bot = t2[:, 10:50, -10:70]
+    np.testing.assert_array_equal(np.concatenate([top, bot], axis=1), whole)
+
+
+def test_weight_blending_average():
+    """Blended constant field stays constant after weight normalization."""
+    tile, stride = 16, 8
+    wwin = linear_weight_window(tile)
+
+    def f(ctx):
+        vals = np.full((1, tile, tile), 3.25, dtype=np.float32)
+        return np.concatenate([vals * wwin[None], wwin[None]], axis=0)
+
+    t = InfiniteTensor((2, None, None), f,
+                       TensorWindow((2, tile, tile), (2, stride, stride)))
+    region = t[:, 0:40, 0:40]
+    vals = normalize_weighted(region)
+    np.testing.assert_allclose(vals, 3.25, rtol=1e-5)
+
+
+def test_chained_tensors_and_planner():
+    """Two-stage chain: child reads parent regions with a different stride;
+    planner computes parents first; results independent of access pattern."""
+    store = MemoryTileStore()
+    parent = _noise_window_tensor(store)
+
+    calls = {"n": 0}
+
+    def child_f(ctx, parent_region):
+        calls["n"] += 1
+        _, i, j = ctx
+        vals = normalize_weighted(parent_region)[:1] * 2.0
+        w = np.ones((1, 16, 16), dtype=np.float32)
+        return np.concatenate([vals * w, w], axis=0)
+
+    child = InfiniteTensor(
+        (2, None, None), child_f,
+        TensorWindow((2, 16, 16), (2, 16, 16)),
+        args=(parent,), args_windows=(TensorWindow((3, 16, 16), (3, 16, 16)),),
+        tile_store=store, tensor_id="child")
+
+    out = child[:, 0:32, 0:32]
+    assert calls["n"] == 4  # 2x2 non-overlapping child windows
+    out2 = child[:, 0:32, 0:32]
+    assert calls["n"] == 4  # fully cached
+    np.testing.assert_array_equal(out, out2)
+    # child values = 2x blended parent channel 0
+    parent_vals = normalize_weighted(parent[:, 0:32, 0:32])[:1]
+    np.testing.assert_allclose(normalize_weighted(out), parent_vals * 2, rtol=1e-5)
+
+
+def test_batched_convention():
+    got_batches = []
+
+    def f(ctxs, regions):
+        got_batches.append(len(ctxs))
+        return [np.full((1, 8, 8), float(ctx[1] * 10 + ctx[2]), dtype=np.float32)
+                for ctx in ctxs]
+
+    parent = _noise_window_tensor(MemoryTileStore(), tile=8, stride=8)
+    t = InfiniteTensor((1, None, None), f,
+                       TensorWindow((1, 8, 8), (1, 8, 8)),
+                       args=(parent,), args_windows=(TensorWindow((3, 8, 8), (3, 8, 8)),),
+                       batch_size=4, tensor_id="batched")
+    out = t[:, 0:24, 0:24]  # 9 windows -> batches of <= 4
+    assert sum(got_batches) == 9
+    assert max(got_batches) <= 4
+    np.testing.assert_allclose(out[0, 0, 0], 0.0)
+    np.testing.assert_allclose(out[0, 20, 20], 22.0)
+
+
+def test_vectorized_convention_with_bucket_padding():
+    shapes_seen = []
+
+    def f(ctxs, regions):
+        shapes_seen.append((ctxs.shape[0], regions.shape))
+        vals = ctxs[:, 1] * 10 + ctxs[:, 2]
+        return np.broadcast_to(
+            vals[:, None, None, None].astype(np.float32), (len(ctxs), 1, 8, 8))
+
+    parent = _noise_window_tensor(MemoryTileStore(), tile=8, stride=8)
+    t = InfiniteTensor((1, None, None), f,
+                       TensorWindow((1, 8, 8), (1, 8, 8)),
+                       args=(parent,), args_windows=(TensorWindow((3, 8, 8), (3, 8, 8)),),
+                       batch_size=4, vectorized=True, batch_buckets=(1, 2, 4),
+                       tensor_id="vec")
+    out = t[:, 0:24, 0:24]  # 9 windows: chunks 4, 4, 1
+    bs = [s[0] for s in shapes_seen]
+    assert bs == [4, 4, 1]
+    assert all(s[1] == (b, 3, 8, 8) for b, s in zip(bs, shapes_seen))
+    np.testing.assert_allclose(out[0, 20, 20], 22.0)
+
+
+def test_hdf5_tile_store_persistence(tmp_path):
+    path = str(tmp_path / "world.h5")
+    store = HDF5TileStore(path)
+    t = _noise_window_tensor(store)
+    a = t[:, 0:40, 0:40]
+    store.set_params({"seed": 5})
+    store.close()
+
+    store2 = HDF5TileStore(path)
+    assert store2.get_params() == {"seed": 5}
+    calls = {"n": 0}
+    t2 = _noise_window_tensor(store2)
+    orig_f = t2.f
+
+    def counting_f(ctx):
+        calls["n"] += 1
+        return orig_f(ctx)
+
+    t2.f = counting_f
+    b = t2[:, 0:40, 0:40]
+    assert calls["n"] == 0  # fully served from the persistent store
+    np.testing.assert_array_equal(a, b)
+    store2.close()
+
+
+def test_memory_store_lru_eviction():
+    store = MemoryTileStore(cache_size_bytes=3 * 3 * 32 * 32 * 4)  # ~3 tiles
+    t = _noise_window_tensor(store)
+    t[:, 0:96, 0:96]
+    assert len(store._data) <= 4
+    # evicted tiles recompute identically
+    a = t[:, 0:10, 0:10]
+    b = t[:, 0:10, 0:10]
+    np.testing.assert_array_equal(a, b)

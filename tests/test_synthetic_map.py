@@ -1,0 +1,83 @@
+"""Perlin FBm + synthetic conditioning map tests."""
+import numpy as np
+import pytest
+
+from terrain_diffusion_tpu.ops import perlin as pl
+from terrain_diffusion_tpu.pipeline.quantiles import build_quantiles, transform_perlin
+from terrain_diffusion_tpu.pipeline.synthetic_map import make_synthetic_map_factory
+
+
+def test_perlin_np_properties():
+    xs, ys = np.meshgrid(np.arange(64, dtype=np.float32), np.arange(64, dtype=np.float32))
+    v = pl.perlin_fbm_np(3, 0.05, 4, 2.0, 0.5, xs.ravel(), ys.ravel()).reshape(64, 64)
+    assert v.shape == (64, 64)
+    assert np.abs(v).max() <= 1.01  # fractal bounding keeps |v| <= ~1
+    assert v.std() > 0.05
+    # determinism + seed sensitivity
+    v2 = pl.perlin_fbm_np(3, 0.05, 4, 2.0, 0.5, xs.ravel(), ys.ravel()).reshape(64, 64)
+    np.testing.assert_array_equal(v, v2)
+    v3 = pl.perlin_fbm_np(4, 0.05, 4, 2.0, 0.5, xs.ravel(), ys.ravel()).reshape(64, 64)
+    assert not np.array_equal(v, v3)
+    # smoothness: neighboring samples highly correlated at low frequency
+    d = np.abs(np.diff(v, axis=0)).mean()
+    assert d < 0.1
+
+
+def test_perlin_native_matches_numpy():
+    from terrain_diffusion_tpu import native
+
+    if native.lib is None:
+        pytest.skip("native unavailable")
+    xs = np.linspace(-100, 100, 500).astype(np.float32)
+    ys = np.linspace(50, -70, 500).astype(np.float32)
+    a = pl.perlin_fbm_np(7, 0.05, 4, 2.0, 0.5, xs, ys)
+    b = native.lib.perlin_fbm_coords(7, 0.05, 4, 2.0, 0.5, xs, ys)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_perlin_jax_matches_numpy():
+    import jax.numpy as jnp
+
+    xs = np.linspace(-50, 80, 300).astype(np.float32)
+    ys = np.linspace(-30, 60, 300).astype(np.float32)
+    a = pl.perlin_fbm_np(11, 0.08, 3, 2.0, 0.5, xs, ys)
+    b = np.asarray(pl.perlin_fbm_jax(11, 0.08, 3, 2.0, 0.5, jnp.asarray(xs), jnp.asarray(ys)))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_quantile_transform_roundtrip(rng):
+    src = rng.standard_normal(100000)
+    tgt = rng.gamma(2.0, 3.0, 100000)
+    sq = build_quantiles(src, 64)
+    tq = build_quantiles(tgt, 64)
+    out = transform_perlin(src, sq, tq)
+    # output distribution close to target
+    assert abs(np.median(out) - np.median(tgt)) < 0.3
+    assert out.min() >= tq[0] and out.max() <= tq[-1]
+
+
+def test_synthetic_map_factory():
+    f = make_synthetic_map_factory(seed=42, frequency_mult=[1.5, 3, 3, 3, 3],
+                                   drop_water_pct=0.5)
+    m = f(0, 0, 64, 64)
+    assert m.shape == (5, 64, 64)
+    # channel 0 is signed-sqrt elevation: plausible range
+    assert -110 < m[0].min() and m[0].max() < 100
+    # temp within clip+stretch range
+    assert m[1].min() >= -17.6 and m[1].max() <= 40.1
+    # temp_std floor
+    assert m[2].min() >= 20
+    assert m[3].min() >= 0  # precip nonnegative
+
+    raw = f.sample_raw(0, 0, 32, 32)
+    assert raw.shape == (5, 32, 32)
+    fin = f.finalize(raw)
+    assert fin.shape == (5, 32, 32)
+
+    # crop consistency (seed-position determinism)
+    m2 = f(10, 20, 40, 50)
+    np.testing.assert_allclose(m[:, 10:40, 20:50], m2, atol=1e-5)
+
+    # different seeds differ
+    g = make_synthetic_map_factory(seed=43)
+    assert not np.allclose(g(0, 0, 16, 16), f(0, 0, 16, 16))
