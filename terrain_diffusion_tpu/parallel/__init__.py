@@ -1,0 +1,5 @@
+from terrain_diffusion_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    shard_batch,
+    replicate,
+)

@@ -1,0 +1,43 @@
+"""Device mesh + sharding helpers.
+
+The framework's parallelism design (replacing the reference's
+Accelerate/NCCL DDP, SURVEY §2.7):
+
+- **training**: data parallelism over a 1-D ``('data',)`` mesh — batch
+  sharded on axis 0, params/optimizer state replicated; jit inserts the
+  gradient all-reduce over ICI.
+- **inference**: tile parallelism over the same mesh — the runtime's padded
+  window batches shard across devices (each tile independent; no collectives
+  on the forward path), so a v5e-8 runs 8 tiles per program call.
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """Shard every array leaf along its leading (batch) axis."""
+    sharding = NamedSharding(mesh, P(axis))
+
+    def put(x):
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(put, batch)
+
+
+def replicate(mesh: Mesh, tree):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def batch_pspec(axis: str = "data"):
+    return P(axis)

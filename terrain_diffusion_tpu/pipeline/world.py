@@ -465,8 +465,8 @@ class WorldPipeline:
         pool_modes = (self.kwargs["elev_coarse_pool_mode"],
                       self.kwargs["p5_coarse_pool_mode"])
 
-        @functools.partial(jax.jit, static_argnames=("bsz",))
-        def coarse_prog(ii, jj, cond_map, cond_noise_in, sample_noise_in, mparams, bsz):
+        @jax.jit
+        def coarse_prog(ii, jj, cond_map, cond_noise_in, sample_noise_in, mparams):
             # cond_map: (B, 5, 64, 64) normalized; noise inputs used when not threefry
             def one(i1, j1, cond, cnoise_in, snoise_in):
                 if threefry:
@@ -479,8 +479,6 @@ class WorldPipeline:
                 x = sample_noise * sigmas0  # (6,64,64)
 
                 cond_scalars = [jnp.asarray([v], dtype=dt) for v in cond_scalar_vals]
-                emb = model.compute_embeddings(
-                    mparams, None, None) if False else None
 
                 def model_fn(scaled, sigma):
                     cnoise = trigflow_precondition_noise(sigma, cfg.sigma_data)
@@ -532,7 +530,7 @@ class WorldPipeline:
             out = coarse_prog(
                 jnp.asarray(i1s), jnp.asarray(j1s),
                 jnp.asarray(np.stack(conds)), jnp.asarray(np.stack(cns)),
-                jnp.asarray(np.stack(sns)), params, bsz=B)
+                jnp.asarray(np.stack(sns)), params)
             return np.asarray(out, dtype=np.float32)
 
         return InfiniteTensor(
@@ -641,13 +639,35 @@ class WorldPipeline:
         coarse_win = TensorWindow((7, 4, 4), (7, 1, 1), offset=(0, -1, -1))
         buckets = tuple(self._batch_sizes)
 
+        if self.T == 1:
+            # Fused single-tensor path (`world_pipeline.py:1149-1172`): init +
+            # intermediate steps chained inside one window fn, so intermediate
+            # latents are never blended across tiles (one fewer blend round).
+            steps = [] if self.onestep_latent else T_INTER
+            init_f = self._latent_program(t_init, 5819, with_prev=False)
+            step_fs = [self._latent_program(t, 5820 + i, with_prev=True)
+                       for i, t in enumerate(steps)]
+
+            def f_t1(ctxs, coarses):
+                out = init_f(ctxs, coarses)
+                for sf in step_fs:
+                    out = sf(ctxs, out, coarses)
+                return out
+
+            return InfiniteTensor(
+                shape=(6, None, None), f=f_t1, output_window=out_win,
+                args=(self.coarse,), args_windows=(coarse_win,),
+                batch_size=self.latents_batch_size, vectorized=True,
+                batch_buckets=buckets, tile_store=self.tile_store,
+                tensor_id="latent_map_T1")
+
         init_f = self._latent_program(t_init, 5819, with_prev=False)
         tensor = InfiniteTensor(
             shape=(6, None, None), f=init_f, output_window=out_win,
             args=(self.coarse,), args_windows=(coarse_win,),
             batch_size=self.latents_batch_size, vectorized=True,
             batch_buckets=buckets, tile_store=self.tile_store,
-            tensor_id="init_latent_map" if self.T == 2 else "latent_map_T1")
+            tensor_id="init_latent_map")
 
         if not self.onestep_latent:
             for i, t in enumerate(T_INTER):
@@ -732,11 +752,29 @@ class WorldPipeline:
     # ==================================================================
     # Output composition
     # ==================================================================
+    def _elev_core(self):
+        """Jitted elevation composition; one compile per query shape (avoids
+        slow per-primitive dispatch compiles)."""
+        if "elev_core" not in self._compiled:
+            RES_MEAN = self.kwargs["residual_mean"]
+            RES_STD = self.kwargs["residual_std"]
+
+            @functools.partial(jax.jit, static_argnames=("oi", "oj", "h", "w"))
+            def core(residual_init, latents_init, oi, oj, h, w):
+                residual_p = (residual_init[0] / residual_init[1]) * RES_STD + RES_MEAN
+                latents_norm = latents_init[:-1] / latents_init[-1:]
+                lowfreq_p = latents_norm[4] * LOWFREQ_STD + LOWFREQ_MEAN
+                r, l = laplacian_denoise(residual_p[None], lowfreq_p[None], sigma=5)
+                elev_p = laplacian_decode(r, l)[0]
+                elev_sqrt = jax.lax.dynamic_slice(elev_p, (oi, oj), (h, w))
+                return signed_square(elev_sqrt)
+
+            self._compiled["elev_core"] = core
+        return self._compiled["elev_core"]
+
     def _compute_elev(self, i1, j1, i2, j2, scale: int) -> np.ndarray:
         """Elevation in meters for [i1:i2) x [j1:j2)
         (reference `_compute_elev`, :1276-1313)."""
-        RES_MEAN = self.kwargs["residual_mean"]
-        RES_STD = self.kwargs["residual_std"]
         sigma = 5
         kernel_size = (int(sigma * 2) // 2) * 2 + 1
         pad_lr = kernel_size // 2 + 1
@@ -751,17 +789,11 @@ class WorldPipeline:
         pj2 = ceil_div(j2 + pad_hr, scale) * scale
 
         residual_init = self.residual[:, pi1:pi2, pj1:pj2]
-        residual_p = (residual_init[0] / residual_init[1]) * RES_STD + RES_MEAN
         latents_init = self.latents[:, pi1 // scale:pi2 // scale, pj1 // scale:pj2 // scale]
-        latents_norm = latents_init[:-1] / latents_init[-1:]
-        lowfreq_p = latents_norm[4] * LOWFREQ_STD + LOWFREQ_MEAN
-
-        r, l = laplacian_denoise(jnp.asarray(residual_p)[None],
-                                 jnp.asarray(lowfreq_p)[None], sigma=sigma)
-        elev_p = laplacian_decode(r, l)[0]
-        oi, oj = i1 - pi1, j1 - pj1
-        elev_sqrt = elev_p[oi:oi + (i2 - i1), oj:oj + (j2 - j1)]
-        return np.asarray(signed_square(elev_sqrt), dtype=np.float32)
+        out = self._elev_core()(
+            jnp.asarray(residual_init), jnp.asarray(latents_init),
+            oi=i1 - pi1, oj=j1 - pj1, h=i2 - i1, w=j2 - j1)
+        return np.asarray(out, dtype=np.float32)
 
     def _compute_climate(self, i1, j1, i2, j2, elev: np.ndarray, scale: int) -> np.ndarray:
         """(5, H, W) climate [temp, t_season, precip, p_cv, beta]
@@ -776,28 +808,37 @@ class WorldPipeline:
         win = 15
         pad = (win - 1) // 2 + 1
         coarse_init = self.coarse[:, ci1 - pad:ci2 + pad, cj1 - pad:cj2 + pad]
-        coarse_map = jnp.asarray(coarse_init[:-1] / coarse_init[-1:])
-        coarse_elev = jnp.sign(coarse_map[0]) * jnp.square(
-            jnp.maximum(0.0, coarse_map[0]))
-        temp_baseline, beta = local_baseline_temperature(
-            coarse_map[2], coarse_elev, win=win, fallback_threshold=0.02)
-        central = coarse_map[:, win // 2:-(win // 2), win // 2:-(win // 2)]
 
-        H_src = temp_baseline.shape[-2]
-        W_src = temp_baseline.shape[-1]
+        # host-side sampling grid (cheap); regression + grid-sample jitted
         ii, jj = np.meshgrid(np.arange(i1, i2), np.arange(j1, j2), indexing="ij")
         u = (ii + 0.5) / S - ci1 + 0.5
         v = (jj + 0.5) / S - cj1 + 0.5
-        grid_y = (u + 0.5) * 2 / H_src - 1
-        grid_x = (v + 0.5) * 2 / W_src - 1
-        grid = jnp.asarray(np.stack([grid_x, grid_y], axis=-1), jnp.float32)
 
-        features = jnp.concatenate(
-            [temp_baseline[None], beta[None], central], axis=0)
-        feats_up = grid_sample_bilinear(features, grid)
-        temp_realistic = feats_up[0] + feats_up[1] * jnp.maximum(jnp.asarray(elev), 0.0)
-        climate = jnp.stack([temp_realistic, feats_up[2 + 3], feats_up[2 + 4],
-                             feats_up[2 + 5], feats_up[1]])
+        if "climate_core" not in self._compiled:
+            @jax.jit
+            def core(coarse_init, u, v, elev):
+                coarse_map = coarse_init[:-1] / coarse_init[-1:]
+                coarse_elev = jnp.sign(coarse_map[0]) * jnp.square(
+                    jnp.maximum(0.0, coarse_map[0]))
+                temp_baseline, beta = local_baseline_temperature(
+                    coarse_map[2], coarse_elev, win=win, fallback_threshold=0.02)
+                central = coarse_map[:, win // 2:-(win // 2), win // 2:-(win // 2)]
+                H_src = temp_baseline.shape[-2]
+                W_src = temp_baseline.shape[-1]
+                grid_y = (u + 0.5) * 2 / H_src - 1
+                grid_x = (v + 0.5) * 2 / W_src - 1
+                grid = jnp.stack([grid_x, grid_y], axis=-1)
+                features = jnp.concatenate(
+                    [temp_baseline[None], beta[None], central], axis=0)
+                feats_up = grid_sample_bilinear(features, grid)
+                temp_realistic = feats_up[0] + feats_up[1] * jnp.maximum(elev, 0.0)
+                return jnp.stack([temp_realistic, feats_up[2 + 3], feats_up[2 + 4],
+                                  feats_up[2 + 5], feats_up[1]])
+
+            self._compiled["climate_core"] = core
+        climate = self._compiled["climate_core"](
+            jnp.asarray(coarse_init), jnp.asarray(u, dtype=jnp.float32),
+            jnp.asarray(v, dtype=jnp.float32), jnp.asarray(elev))
         return np.asarray(climate, dtype=np.float32)
 
     def get(self, i1, j1, i2, j2, with_climate: bool = True) -> dict:

@@ -1,0 +1,119 @@
+"""WorldPipeline end-to-end tests (tiny models, small tile geometry).
+
+Marked slow: CPU XLA compiles dominate (~minutes); the math itself is tiny.
+Run explicitly with `pytest tests/test_pipeline.py` or via `-m slow`.
+"""
+import numpy as np
+import pytest
+
+from terrain_diffusion_tpu.pipeline.world import WorldPipeline
+
+from helpers import tiny_models
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def models():
+    return tiny_models(decoder_tile=64)
+
+
+def _make_pipe(models, seed=1234, **kw):
+    kw.setdefault("latents_batch_size", [1, 2, 4])
+    kw.setdefault("decoder_tile_size", 64)
+    kw.setdefault("decoder_tile_stride", 48)
+    return WorldPipeline(seed=seed, **kw).set_models(*models)
+
+
+@pytest.fixture(scope="module")
+def pipe(models):
+    p = _make_pipe(models)
+    p.bind()
+    return p
+
+
+def test_get_end_to_end(pipe):
+    out = pipe.get(0, 0, 24, 24)
+    assert out["elev"].shape == (24, 24)
+    assert out["climate"].shape == (5, 24, 24)
+    assert np.isfinite(out["elev"]).all()
+    assert np.isfinite(out["climate"]).all()
+
+
+def test_same_query_bit_deterministic(pipe):
+    a = pipe.get(0, 0, 24, 24)
+    b = pipe.get(0, 0, 24, 24)
+    np.testing.assert_array_equal(a["elev"], b["elev"])
+    np.testing.assert_array_equal(a["climate"], b["climate"])
+
+
+def test_overlap_consistency_within_algorithmic_tolerance(pipe):
+    # Different query boxes pad differently; laplacian_denoise's low-band
+    # re-estimation makes overlapping queries agree only approximately
+    # (same property as the reference algorithm).
+    a = pipe.get(0, 0, 24, 24)
+    b = pipe.get(8, 8, 32, 32)
+    np.testing.assert_allclose(a["elev"][8:24, 8:24], b["elev"][:16, :16],
+                               rtol=0.05, atol=10.0)
+
+
+def test_cross_pipeline_determinism(models, pipe):
+    ref = pipe.get(4, 4, 20, 20)
+    p2 = _make_pipe(models)
+    p2.bind()
+    got = p2.get(4, 4, 20, 20)
+    np.testing.assert_allclose(got["elev"], ref["elev"], rtol=1e-5, atol=1e-4)
+
+
+def test_seed_changes_world(models, pipe):
+    ref = pipe.get(4, 4, 20, 20)
+    p2 = _make_pipe(models, seed=999)
+    p2.bind()
+    got = p2.get(4, 4, 20, 20)
+    assert not np.allclose(got["elev"], ref["elev"])
+
+
+def test_change_seed_rebuilds(models):
+    p = _make_pipe(models)
+    p.bind()
+    a = p.coarse[:, 0:4, 0:4]
+    assert p.change_seed(4321)
+    b = p.coarse[:, 0:4, 0:4]
+    assert not np.allclose(a, b)
+    assert not p.change_seed(4321)  # no-op on same seed
+
+
+def test_t1_and_onestep_paths(models):
+    p = _make_pipe(models, T=1)
+    p.bind()
+    out = p.latents[:, 0:8, 0:8]
+    assert np.isfinite(out).all()
+    p2 = _make_pipe(models, onestep_latent=True)
+    p2.bind()
+    out2 = p2.latents[:, 0:8, 0:8]
+    assert np.isfinite(out2).all()
+    assert not np.allclose(out, out2)
+
+
+def test_indirect_caching_persistence(models, tmp_path):
+    path = str(tmp_path / "world.h5")
+    p = _make_pipe(models, caching_strategy="indirect")
+    p.bind(path)
+    a = p.coarse[:, 0:4, 0:4]
+    p.close()
+    # reopen: tiles served from disk, params reconciled
+    p2 = _make_pipe(models, caching_strategy="indirect")
+    p2.bind(path)
+    b = p2.coarse[:, 0:4, 0:4]
+    np.testing.assert_array_equal(a, b)
+    p2.close()
+
+
+def test_save_and_from_pretrained(models, tmp_path, pipe):
+    p = _make_pipe(models)
+    p.save_pretrained(str(tmp_path / "pipe"))
+    p2 = WorldPipeline.from_pretrained(str(tmp_path / "pipe"), seed=1234,
+                                       latents_batch_size=[1, 2, 4])
+    assert p2.decoder_tile_size == 64  # persisted in config
+    p2.bind()
+    assert p2.coarse_model.config.in_channels == 11
