@@ -21,6 +21,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "jax")
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def _build_stage_programs():
     from terrain_diffusion_tpu.nn import EDMUnet2D, EDMUnetConfig
@@ -51,9 +56,11 @@ def _build_stage_programs():
         conditional_inputs=(), fourier_scale="pos"))
 
     kc, kb, kd = jax.random.split(jax.random.key(0), 3)
-    pc = coarse.init(kc)
-    pb = base.init(kb)
-    pd = decoder.init(kd)
+    # jit each init into a single program: op-by-op init dispatches hundreds
+    # of tiny compiles (catastrophic through a remote-device tunnel)
+    pc = jax.jit(coarse.init)(kc)
+    pb = jax.jit(base.init)(kb)
+    pd = jax.jit(decoder.init)(kd)
 
     sigmas0 = float(compute_sigmas(cfg, 20)[0])
 

@@ -1,0 +1,256 @@
+"""Training stack: config/registry, datasets on a synthetic HDF5 fixture,
+diffusion/consistency/autoencoder steps, PostHoc-EMA, LR schedules."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from terrain_diffusion_tpu.training import registry as reg
+from terrain_diffusion_tpu.training import lr_sched as ls
+
+
+@pytest.fixture(scope="module")
+def h5_fixture(tmp_path_factory):
+    """Small dataset in the reference schema:
+    {res}/{chunk}/{subchunk}/{latent,lowfreq,lowres_exact,climate,residual}."""
+    import h5py
+
+    path = str(tmp_path_factory.mktemp("data") / "dataset.h5")
+    rng = np.random.default_rng(0)
+    with h5py.File(path, "w") as f:
+        for chunk in range(2):
+            for sub in range(2):
+                g = f.create_group(f"90/{chunk}/{sub}")
+                lat = rng.standard_normal((8, 8, 96, 96)).astype(np.float16)
+                d = g.create_dataset("latent", data=lat)
+                d.attrs["pct_land"] = 0.5
+                d.attrs["split"] = "train" if chunk == 0 else "val"
+                lf = rng.standard_normal((96, 96)).astype(np.float32) * 38 - 31
+                g.create_dataset("lowfreq", data=lf)
+                g.create_dataset("lowres_exact",
+                                 data=rng.standard_normal((96, 96)).astype(np.float32) * 100)
+                g.create_dataset("climate",
+                                 data=rng.standard_normal((19, 96, 96)).astype(np.float32))
+                r = g.create_dataset(
+                    "residual",
+                    data=rng.standard_normal((768, 768)).astype(np.float32))
+                r.attrs["pct_land"] = 0.5
+                r.attrs["split"] = "train" if chunk == 0 else "val"
+                g.attrs["beauty_score"] = 3.0
+    return path
+
+
+def test_config_parse_and_resolve(tmp_path):
+    cfg_path = str(tmp_path / "t.cfg")
+    with open(cfg_path, "w") as f:
+        f.write("""
+[trainer]
+@trainer=diffusion
+
+[training]
+batch_size=4
+P_mean=-0.6
+P_std=1.3
+
+[model]
+@model=unet
+image_size=16
+in_channels=3
+model_channels=8
+model_channel_mults=[1]
+layers_per_block=1
+conditional_inputs=[["tensor", 7, 1.0]]
+fourier_scale="pos"
+
+[lr_sched]
+@lr_sched=sqrt
+lr=0.01
+ref_nimg=1000
+warmup_nimg=100
+
+[scheduler]
+@scheduler=edm_dpm
+sigma_min=0.002
+sigma_max=80
+sigma_data=0.5
+""")
+    reg.build_registry()
+    config = reg.load_config(cfg_path)
+    assert config["training"]["batch_size"] == 4
+    assert config["training"]["P_mean"] == -0.6
+    reg.apply_overrides(config, ["training.batch_size=8", "model.model_channels=16"])
+    assert config["training"]["batch_size"] == 8
+    resolved = reg.resolve(config)
+    assert resolved["model"].config.model_channels == 16
+    assert abs(resolved["lr_sched"].get(1000) - 0.01) < 1e-9
+    assert resolved["scheduler"].sigma_data == 0.5
+
+
+def test_lr_schedulers():
+    s = ls.SqrtLRScheduler(0.01, 1000, warmup_nimg=100)
+    assert s.get(50) == pytest.approx(0.005)
+    assert s.get(1000) == pytest.approx(0.01)
+    assert s.get(4000) == pytest.approx(0.005)
+    c = ls.CosineLRScheduler(0.01, 1000)
+    assert c.get(0) == pytest.approx(0.01)
+    assert c.get(1000) == pytest.approx(0.0, abs=1e-9)
+    k = ls.ConstantLRScheduler(0.003)
+    assert k.get(12345) == 0.003
+
+
+def test_h5_latents_dataset(h5_fixture):
+    from terrain_diffusion_tpu.training.datasets import H5LatentsDataset
+
+    ds = H5LatentsDataset(
+        h5_file=h5_fixture, crop_size=64, pct_land_ranges=[[0, 1]],
+        subset_resolutions=[90], subset_weights=[1.0],
+        latents_mean=[0, 0, 0, 0], latents_std=[1, 1, 1, 1],
+        split="train", beauty_dist=[True],
+        cond_input_mean=[0, 0, 0, 0, 0, 0, 0.5],
+        cond_input_std=[1, 1, 1, 1, 1, 1, 0.5])
+    item = ds[0]
+    assert item["image"].shape == (64, 64, 5)  # 4 latent + 1 lowfreq, NHWC
+    assert item["cond_inputs"][0].shape == (58,)
+    assert np.isfinite(item["image"]).all()
+    assert np.isfinite(item["cond_inputs"][0]).all()
+    # seeded determinism
+    ds.set_seed(7)
+    a = ds[0]["image"]
+    ds.set_seed(7)
+    b = ds[0]["image"]
+    np.testing.assert_array_equal(a, b)
+
+
+def test_h5_decoder_dataset(h5_fixture):
+    from terrain_diffusion_tpu.training.datasets import H5DecoderTerrainDataset
+
+    ds = H5DecoderTerrainDataset(
+        h5_file=h5_fixture, crop_size=64, pct_land_ranges=[[0, 1]],
+        subset_resolutions=[90], residual_mean=0.0, residual_std=1.1678,
+        split="train")
+    item = ds[0]
+    assert item["image"].shape == (64, 64, 1)
+    assert item["cond_img"].shape == (64, 64, 4)
+    assert np.isfinite(item["image"]).all()
+
+
+def test_h5_autoencoder_dataset(h5_fixture):
+    from terrain_diffusion_tpu.training.datasets import H5AutoencoderDataset
+
+    ds = H5AutoencoderDataset(
+        h5_file=h5_fixture, crop_size=32, pct_land_ranges=[[0, 1]],
+        subset_resolutions=[90], split="train")
+    item = ds[0]
+    assert item["image"].shape == (32, 32, 1)
+
+
+def test_long_dataset_and_collate(h5_fixture):
+    from terrain_diffusion_tpu.training.datasets import (
+        H5AutoencoderDataset, LongDataset, collate)
+
+    base = H5AutoencoderDataset(
+        h5_file=h5_fixture, crop_size=32, pct_land_ranges=[[0, 1]],
+        subset_resolutions=[90])
+    ds = LongDataset(base, base_seed=3)
+    batch = collate([ds[i] for i in range(4)])
+    assert batch["image"].shape == (4, 32, 32, 1)
+    # same index reproducible
+    np.testing.assert_array_equal(ds[2]["image"], ds[2]["image"])
+
+
+def test_diffusion_trainer_steps(h5_fixture, tmp_path):
+    from terrain_diffusion_tpu.training.train import run_training
+
+    config = {
+        "trainer": {"@trainer": "diffusion"},
+        "logging": {"save_dir": str(tmp_path / "run"), "save_epochs": 1},
+        "training": {"batch_size": 2, "epochs": 1, "epoch_steps": 3,
+                     "P_mean": -0.6, "P_std": 1.3, "seed": 1},
+        "ema": {"sigma_rels": [0.05, 0.1], "checkpoint_every_num_steps": 2},
+        "model": {"@model": "unet", "image_size": 64, "in_channels": 5,
+                  "out_channels": 5, "model_channels": 8,
+                  "model_channel_mults": [1], "layers_per_block": 1,
+                  "conditional_inputs": [["tensor", 58, 1.0]],
+                  "fourier_scale": "pos"},
+        "lr_sched": {"@lr_sched": "constant", "lr": 1e-4},
+        "train_dataset": {
+            "@dataset": "h5_latents", "h5_file": h5_fixture, "crop_size": 64,
+            "pct_land_ranges": [[0, 1]], "subset_resolutions": [90],
+            "subset_weights": [1.0], "latents_mean": [0, 0, 0, 0],
+            "latents_std": [1, 1, 1, 1], "split": "train",
+            "beauty_dist": True,
+            "cond_input_mean": [0, 0, 0, 0, 0, 0, 0.5],
+            "cond_input_std": [1, 1, 1, 1, 1, 1, 0.5]},
+    }
+    state, counters = run_training(config, max_steps=3)
+    assert counters["step"] == 3
+    assert os.path.exists(str(tmp_path / "run" / "latest_checkpoint" / "saved_model" / "model.safetensors"))
+    assert os.path.exists(str(tmp_path / "run" / "metrics.jsonl"))
+    # resume from checkpoint
+    state2, counters2 = run_training(config, max_steps=5)
+    assert counters2["step"] == 5
+
+
+def test_phema_update_and_synthesize(tmp_path):
+    from terrain_diffusion_tpu.training.phema import PostHocEMA, sigma_rel_to_gamma
+
+    # paper mapping: sigma_rel 0.05 -> gamma ~16.97; 0.10 -> ~6.94
+    assert 15 < sigma_rel_to_gamma(0.05) < 19
+    assert 5 < sigma_rel_to_gamma(0.10) < 9
+    params = {"w": np.ones((4, 4), np.float32)}
+    ema = PostHocEMA(params, sigma_rels=(0.05, 0.1), folder=str(tmp_path / "ph"))
+    for step in range(1, 40):
+        params = {"w": params["w"] * 0 + step}
+        ema.update(params, step)
+        if step % 10 == 0:
+            ema.checkpoint(step)
+    synth = ema.synthesize(0.07)
+    assert np.isfinite(np.asarray(synth["w"])).all()
+    # EMA lags behind the raw value but tracks it
+    assert 5 < float(np.asarray(synth["w"]).mean()) <= 39
+
+
+def test_consistency_trainer_step(h5_fixture):
+    import jax.numpy as jnp
+
+    from terrain_diffusion_tpu.nn import EDMUnet2D, EDMUnetConfig
+    from terrain_diffusion_tpu.training.trainers.consistency import ConsistencyTrainer
+
+    model = EDMUnet2D(EDMUnetConfig(
+        image_size=16, in_channels=5, out_channels=5, model_channels=8,
+        model_channel_mults=(1,), layers_per_block=1,
+        conditional_inputs=(("tensor", 58, 1.0),), fourier_scale="pos"))
+    config = {"training": {"sigma_data": 0.5, "warmup_steps": 10},
+              "model": {}, "optimizer": {}}
+    trainer = ConsistencyTrainer(config, {"model": model,
+                                          "lr_sched": ls.ConstantLRScheduler(1e-4)})
+    state = trainer.init_state(jax.random.key(0))
+    counters = {"step": 0, "seen": 0}
+    rng = np.random.default_rng(0)
+    batch = {"image": rng.standard_normal((2, 16, 16, 5)).astype(np.float32),
+             "cond_inputs": [rng.standard_normal((2, 58)).astype(np.float32)]}
+    m1 = trainer.train_step(state, batch, jax.random.key(1), counters)
+    m2 = trainer.train_step(state, batch, jax.random.key(2), counters)
+    assert np.isfinite(m1["loss"]) and np.isfinite(m2["loss"])
+    assert counters["step"] == 2
+
+
+def test_autoencoder_trainer_step():
+    from terrain_diffusion_tpu.nn import EDMAutoencoder, EDMAutoencoderConfig
+    from terrain_diffusion_tpu.training.trainers.autoencoder import AutoencoderTrainer
+
+    ae = EDMAutoencoder(EDMAutoencoderConfig(
+        image_size=32, in_channels=1, latent_channels=2, model_channels=8,
+        model_channel_mults=(1, 2), layers_per_block=1, midblock_attention=False))
+    config = {"training": {"kl_weight": 1e-5}, "optimizer": {}}
+    trainer = AutoencoderTrainer(config, {"model": ae,
+                                          "lr_sched": ls.ConstantLRScheduler(1e-4)})
+    state = trainer.init_state(jax.random.key(0))
+    counters = {"step": 0, "seen": 0}
+    batch = {"image": np.random.default_rng(0).standard_normal(
+        (2, 32, 32, 1)).astype(np.float32)}
+    m = trainer.train_step(state, batch, jax.random.key(1), counters)
+    assert np.isfinite(m["loss"])
+    assert "mae" in m and "kl" in m
