@@ -102,8 +102,12 @@ def read_geotiff(path):
         sample_format = tags.get(_TAG_SAMPLE_FORMAT)
         if isinstance(sample_format, (tuple, list)):
             sample_format = sample_format[0]
-        if arr.dtype == np.uint16 and sample_format == 2:
+        if sample_format == 2 and arr.dtype == np.uint16:
             arr = arr.view(np.int16)
+        elif (sample_format == 2 and arr.dtype == np.int32
+              and arr.min() >= -32768 and arr.max() <= 32767):
+            # PIL decodes signed 16-bit TIFF to int32; narrow back
+            arr = arr.astype(np.int16)
         transform = None
         if _TAG_MODEL_PIXEL_SCALE in tags and _TAG_MODEL_TIEPOINT in tags:
             sx, sy = tags[_TAG_MODEL_PIXEL_SCALE][:2]
