@@ -1,0 +1,322 @@
+"""Bounded-canvas tiled sampling primitives for evaluation/sweeps — the
+fixed-canvas counterpart of the InfiniteDiffusion runtime (reference
+`training/evaluation/sample_diffusion_base.py`, `sample_diffusion_decoder.py`,
+`sample_autoencoder.py`, `sample_coarse.py`).
+
+JAX/NHWC; every model forward is jitted and tiles run through the same
+overlap-blend algebra as the pipeline (linear weight windows, sum + divide).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from terrain_diffusion_tpu.evaluation import tile_starts
+from terrain_diffusion_tpu.ops import mp
+from terrain_diffusion_tpu.ops.image import upsample_nearest
+from terrain_diffusion_tpu.ops.windows import linear_weight_window
+from terrain_diffusion_tpu.scheduler import (
+    EDMSchedulerConfig,
+    compute_sigmas,
+    sample_dpm,
+    scale_score_in_velocity,
+    trigflow_precondition_noise,
+)
+
+
+def process_cond_img(cond_img, histogram_raw, cond_means, cond_stds,
+                     noise_level: float = 0.0):
+    """(B, 7, 4, 4) conditioning window -> (B, 58) vector (reference
+    `_process_cond_img`; same math as the pipeline's in-program builder)."""
+    cond_img = jnp.asarray(cond_img, jnp.float32)
+    m = jnp.asarray(cond_means, jnp.float32).reshape(1, -1, 1, 1)
+    s = jnp.asarray(cond_stds, jnp.float32).reshape(1, -1, 1, 1)
+    cond = (cond_img - m) / s
+    cond = cond.at[:, 0:2].set(jnp.nan_to_num(cond[:, 0:2], nan=0.0))
+    means_crop = cond[:, 0].reshape(cond.shape[0], -1)
+    p5_crop = cond[:, 1].reshape(cond.shape[0], -1)
+    climate = jnp.nan_to_num(cond[:, 2:6, 1:3, 1:3].mean(axis=(2, 3)), nan=0.0)
+    mask_crop = cond[:, 6].reshape(cond.shape[0], -1)
+    nl = jnp.full((cond.shape[0], 1), (noise_level - 0.5) * np.sqrt(12), jnp.float32)
+    hist = jnp.broadcast_to(jnp.asarray(histogram_raw, jnp.float32).reshape(1, -1),
+                            (cond.shape[0], 5))
+    return mp.mp_concat([means_crop, p5_crop, climate, mask_crop, hist, nl], axis=1)
+
+
+def _model_with_guidance(model, params, guide_model=None, guide_params=None,
+                         guidance_scale: float = 1.0):
+    def fwd(x, cnoise, cond_inputs):
+        out = model.apply(params, x, cnoise, cond_inputs)
+        if guide_model is not None and guidance_scale != 1.0:
+            g = guide_model.apply(guide_params, x, cnoise, cond_inputs)
+            out = g + guidance_scale * (out - g)
+        return out
+    return fwd
+
+
+def sample_base_diffusion(model, params, shape, cond_inputs, *, key,
+                          steps: int = 15, cfg: EDMSchedulerConfig | None = None,
+                          guide_model=None, guide_params=None,
+                          guidance_scale: float = 1.0,
+                          tile_size: Optional[int] = None,
+                          cond_means=None, cond_stds=None, histogram_raw=None,
+                          noise_level: float = 0.0,
+                          weight_window_fn: Callable = linear_weight_window):
+    """Sample (B, H, W, C) latents with DPM-Solver++, optionally tiled.
+
+    `cond_inputs`: list of per-sample conditioning arrays for untiled
+    sampling, or a (B, 7, Hc, Wc) conditioning image for tiled sampling
+    (per-tile 4x4 windows are processed into 58-dim vectors).
+    """
+    cfg = cfg or EDMSchedulerConfig()
+    sigmas0 = float(compute_sigmas(cfg, steps)[0])
+    B, H, W, C = shape
+
+    def run_tile(noise, tile_cond):
+        fwd = _model_with_guidance(model, params, guide_model, guide_params,
+                                   guidance_scale)
+
+        def model_fn(scaled, sigma):
+            cnoise = trigflow_precondition_noise(sigma, cfg.sigma_data)
+            nl = jnp.full((noise.shape[0],), cnoise, scaled.dtype)
+            return fwd(scaled, nl, tile_cond)
+
+        return sample_dpm(model_fn, noise, cfg, steps)
+
+    if tile_size is None:
+        noise = jax.random.normal(key, shape) * sigmas0
+        return run_tile(noise, cond_inputs) / cfg.sigma_data
+
+    stride = tile_size // 2
+    h_starts = tile_starts(H, tile_size, stride)
+    w_starts = tile_starts(W, tile_size, stride)
+    cond_img = cond_inputs
+    assert cond_img.ndim == 4, "tiled sampling needs a (B,7,Hc,Wc) cond image"
+    weights = jnp.asarray(weight_window_fn(tile_size))[None, :, :, None]
+    initial_noise = jax.random.normal(key, shape) * sigmas0
+    output = jnp.zeros(shape)
+    output_w = jnp.zeros(shape)
+    for ic, i0 in enumerate(h_starts):
+        for jc, j0 in enumerate(w_starts):
+            tc = process_cond_img(cond_img[:, :, ic:ic + 4, jc:jc + 4],
+                                  histogram_raw, cond_means, cond_stds,
+                                  noise_level)
+            tile = run_tile(
+                initial_noise[:, i0:i0 + tile_size, j0:j0 + tile_size, :], [tc])
+            output = output.at[:, i0:i0 + tile_size, j0:j0 + tile_size, :].add(
+                tile * weights)
+            output_w = output_w.at[:, i0:i0 + tile_size, j0:j0 + tile_size, :].add(
+                jnp.broadcast_to(weights, tile.shape))
+    return output / output_w / cfg.sigma_data
+
+
+def sample_base_consistency(model, params, shape, cond_inputs, *, key,
+                            inter_t: float | None = None,
+                            cfg: EDMSchedulerConfig | None = None,
+                            tile_size: Optional[int] = None,
+                            cond_means=None, cond_stds=None, histogram_raw=None,
+                            weight_window_fn: Callable = linear_weight_window,
+                            skip_blend_last: bool = False):
+    """1-2 step TrigFlow consistency sampling with optional inter-step
+    blending (the bounded-canvas InfiniteDiffusion analogue; reference
+    `sample_base_consistency` / `evaluation/infinite_consistency.py`)."""
+    cfg = cfg or EDMSchedulerConfig()
+    sd = cfg.sigma_data
+    sigmas0 = float(compute_sigmas(cfg, 20)[0])
+    t_steps = [float(np.arctan(sigmas0 / sd))]
+    if inter_t is not None:
+        t_steps.append(float(inter_t))
+    B, H, W, C = shape
+
+    def consistency_step(sample, z, t, tile_cond):
+        t = jnp.float32(t)
+        x_t = jnp.cos(t) * sample + jnp.sin(t) * z * sd
+        nl = jnp.full((x_t.shape[0],), t, x_t.dtype)
+        pred = -model.apply(params, x_t / sd, nl, tile_cond)
+        return jnp.cos(t) * x_t - jnp.sin(t) * sd * pred
+
+    if tile_size is None:
+        sample = jnp.zeros(shape)
+        for si, t in enumerate(t_steps):
+            key, sub = jax.random.split(key)
+            z = jax.random.normal(sub, shape)
+            sample = consistency_step(sample, z, t, cond_inputs)
+        return sample / sd
+
+    stride = tile_size // 2
+    h_starts = tile_starts(H, tile_size, stride)
+    w_starts = tile_starts(W, tile_size, stride)
+    cond_img = cond_inputs
+    weights = jnp.asarray(weight_window_fn(tile_size))[None, :, :, None]
+    sample = jnp.zeros(shape)
+    for si, t in enumerate(t_steps):
+        key, sub = jax.random.split(key)
+        z_full = jax.random.normal(sub, shape)
+        out = jnp.zeros(shape)
+        out_w = jnp.zeros(shape)
+        last = si == len(t_steps) - 1
+        for ic, i0 in enumerate(h_starts):
+            for jc, j0 in enumerate(w_starts):
+                tc = [process_cond_img(cond_img[:, :, ic:ic + 4, jc:jc + 4],
+                                       histogram_raw, cond_means, cond_stds)]
+                sl = (slice(None), slice(i0, i0 + tile_size),
+                      slice(j0, j0 + tile_size), slice(None))
+                tile = consistency_step(sample[sl], z_full[sl], t, tc)
+                w = (jnp.ones_like(weights) if (last and skip_blend_last)
+                     else weights)
+                out = out.at[sl].add(tile * w)
+                out_w = out_w.at[sl].add(jnp.broadcast_to(w, tile.shape))
+        sample = out / out_w
+    return sample / sd
+
+
+def sample_decoder_consistency_tiled(model, params, latents, *, key,
+                                     tile_size: int = 512, stride: int = 384,
+                                     latent_compression: int = 8,
+                                     cfg: EDMSchedulerConfig | None = None,
+                                     weight_window_fn: Callable = linear_weight_window):
+    """1-step consistency decode of (B, h, w, 4) latents to (B, H, W, 1)
+    residual via overlapping pixel tiles (reference
+    `sample_decoder_consistency_tiled`)."""
+    cfg = cfg or EDMSchedulerConfig()
+    sd = cfg.sigma_data
+    sigmas0 = float(compute_sigmas(cfg, 20)[0])
+    t = float(np.arctan(sigmas0 / sd))
+    lc = latent_compression
+    B, h, w, C = latents.shape
+    H, W = h * lc, w * lc
+    up = jnp.moveaxis(upsample_nearest(jnp.moveaxis(latents, -1, 1), lc), 1, -1)
+    weights = jnp.asarray(weight_window_fn(tile_size))[None, :, :, None]
+    key, sub = jax.random.split(key)
+    z_full = jax.random.normal(sub, (B, H, W, 1))
+    out = jnp.zeros((B, H, W, 1))
+    out_w = jnp.zeros((B, H, W, 1))
+    for i0 in tile_starts(H, tile_size, stride):
+        for j0 in tile_starts(W, tile_size, stride):
+            sl = (slice(None), slice(i0, i0 + tile_size),
+                  slice(j0, j0 + tile_size), slice(None))
+            z = z_full[sl]
+            x_t = jnp.sin(t) * z * sd
+            model_in = jnp.concatenate([x_t / sd, up[sl]], axis=-1)
+            nl = jnp.full((B,), t, jnp.float32)
+            pred = -model.apply(params, model_in, nl, [])
+            tile = jnp.cos(t) * x_t - jnp.sin(t) * sd * pred
+            out = out.at[sl].add(tile * weights)
+            out_w = out_w.at[sl].add(jnp.broadcast_to(weights, tile.shape))
+    return out / out_w / sd
+
+
+def sample_decoder_diffusion_tiled(model, params, latents, *, key,
+                                   steps: int = 15, tile_size: int = 512,
+                                   stride: int = 384, latent_compression: int = 8,
+                                   cfg: EDMSchedulerConfig | None = None,
+                                   guide_model=None, guide_params=None,
+                                   guidance_scale: float = 1.0,
+                                   score_scaling: float = 1.0,
+                                   weight_window_fn: Callable = linear_weight_window):
+    """Multi-step diffusion decode with optional AutoGuidance + score scaling
+    (reference `sample_decoder_diffusion_tiled` + `_scale_score`)."""
+    cfg = cfg or EDMSchedulerConfig()
+    sigmas0 = float(compute_sigmas(cfg, steps)[0])
+    lc = latent_compression
+    B, h, w, C = latents.shape
+    H, W = h * lc, w * lc
+    up = jnp.moveaxis(upsample_nearest(jnp.moveaxis(latents, -1, 1), lc), 1, -1)
+    weights = jnp.asarray(weight_window_fn(tile_size))[None, :, :, None]
+    key, sub = jax.random.split(key)
+    noise_full = jax.random.normal(sub, (B, H, W, 1)) * sigmas0
+    out = jnp.zeros((B, H, W, 1))
+    out_w = jnp.zeros((B, H, W, 1))
+    fwd = _model_with_guidance(model, params, guide_model, guide_params,
+                               guidance_scale)
+    for i0 in tile_starts(H, tile_size, stride):
+        for j0 in tile_starts(W, tile_size, stride):
+            sl = (slice(None), slice(i0, i0 + tile_size),
+                  slice(j0, j0 + tile_size), slice(None))
+            cond_up = up[sl]
+
+            def model_fn(scaled, sigma):
+                cnoise = trigflow_precondition_noise(sigma, cfg.sigma_data)
+                nl = jnp.full((B,), cnoise, scaled.dtype)
+                x_in = jnp.concatenate([scaled, cond_up], axis=-1)
+                v = fwd(x_in, nl, [])
+                if score_scaling != 1.0:
+                    v = scale_score_in_velocity(
+                        v, scaled, sigma, v, alpha=score_scaling,
+                        sigma_data=cfg.sigma_data)
+                return v
+
+            tile = sample_dpm(model_fn, noise_full[sl], cfg, steps)
+            out = out.at[sl].add(tile * weights)
+            out_w = out_w.at[sl].add(jnp.broadcast_to(weights, tile.shape))
+    return out / out_w / cfg.sigma_data
+
+
+def sample_autoencoder_tiled(ae, params, x, *, key=None, tile_size: int = 512,
+                             stride: int = 384,
+                             weight_window_fn: Callable = linear_weight_window):
+    """Tiled VAE encode+decode roundtrip (reference `sample_autoencoder.py`)."""
+    B, H, W, C = x.shape
+    weights = jnp.asarray(weight_window_fn(tile_size))[None, :, :, None]
+    out = jnp.zeros_like(x)
+    out_w = jnp.zeros_like(x)
+    for i0 in tile_starts(H, tile_size, stride):
+        for j0 in tile_starts(W, tile_size, stride):
+            sl = (slice(None), slice(i0, i0 + tile_size),
+                  slice(j0, j0 + tile_size), slice(None))
+            means, logvars = ae.preencode(params, x[sl])
+            z = ae.postencode(means, logvars, key=key)
+            rec = ae.decode(params, z)
+            out = out.at[sl].add(rec * weights)
+            out_w = out_w.at[sl].add(jnp.broadcast_to(weights, rec.shape))
+    return out / out_w
+
+
+def cond_inputs_from_snr(cond_snr, batch: int = 1):
+    """Coarse conditioning scalars from per-channel SNR (reference
+    `sample_coarse._cond_inputs_from_snr`)."""
+    t = np.arctan(np.asarray(cond_snr, np.float32))
+    vals = np.log(np.tan(t) / 8.0)
+    return [jnp.full((batch,), v, jnp.float32) for v in vals], t
+
+
+def sample_coarse_tiled(model, params, cond_map, cond_snr, *, key,
+                        steps: int = 20, tile_size: int = 64,
+                        cfg: EDMSchedulerConfig | None = None,
+                        weight_window_fn: Callable = linear_weight_window):
+    """Tiled 20-step coarse sampling over a normalized (B, H, W, 5) cond map
+    (reference `sample_coarse_tiled`)."""
+    cfg = cfg or EDMSchedulerConfig()
+    sigmas0 = float(compute_sigmas(cfg, steps)[0])
+    B, H, W, _ = cond_map.shape
+    stride = tile_size - 16
+    cond_scalars, t_cond = cond_inputs_from_snr(cond_snr, batch=B)
+    tc = jnp.asarray(t_cond).reshape(1, 1, 1, -1)
+    key, kn = jax.random.split(key)
+    cond_noise = jax.random.normal(kn, cond_map.shape)
+    cond_mixed = jnp.cos(tc) * cond_map + jnp.sin(tc) * cond_noise
+    weights = jnp.asarray(weight_window_fn(tile_size))[None, :, :, None]
+    key, ks = jax.random.split(key)
+    noise_full = jax.random.normal(ks, (B, H, W, 6)) * sigmas0
+    out = jnp.zeros((B, H, W, 6))
+    out_w = jnp.zeros((B, H, W, 6))
+    for i0 in tile_starts(H, tile_size, stride):
+        for j0 in tile_starts(W, tile_size, stride):
+            sl = (slice(None), slice(i0, i0 + tile_size),
+                  slice(j0, j0 + tile_size), slice(None))
+            cond_tile = cond_mixed[sl]
+
+            def model_fn(scaled, sigma):
+                cnoise = trigflow_precondition_noise(sigma, cfg.sigma_data)
+                nl = jnp.full((B,), cnoise, scaled.dtype)
+                x_in = jnp.concatenate([scaled, cond_tile], axis=-1)
+                return model.apply(params, x_in, nl, cond_scalars)
+
+            tile = sample_dpm(model_fn, noise_full[sl], cfg, steps)
+            out = out.at[sl].add(tile * weights)
+            out_w = out_w.at[sl].add(jnp.broadcast_to(weights, tile.shape))
+    return out / out_w / cfg.sigma_data

@@ -175,10 +175,21 @@ def unet_block_init(
     return p
 
 
-def _attention(p, x, num_heads: int, compute_dtype):
-    """Pixel-norm attention (reference `unet_block.py:102-108`), NHWC."""
+def _attention(p, x, num_heads: int, compute_dtype, attention_impl: str = "xla"):
+    """Pixel-norm attention (reference `unet_block.py:102-108`), NHWC.
+
+    attention_impl='pallas' fuses norm+softmax+weighted-sum into one Pallas
+    program per (batch, head) on TPU (ops/pallas_attention.py); falls back to
+    the XLA path elsewhere.
+    """
     n, h, w, c = x.shape
     y = mp_conv_apply(p["attn_qkv"], x, compute_dtype=compute_dtype)  # (N,H,W,3C)
+    if attention_impl == "pallas":
+        from terrain_diffusion_tpu.ops import pallas_attention as pa
+
+        if pa.pallas_available():
+            out = pa.fused_pixelnorm_attention(y, num_heads).astype(x.dtype)
+            return mp_conv_apply(p["attn_proj"], out, compute_dtype=compute_dtype)
     ch = c // num_heads
     # -> (N, heads, ch, 3, HW)
     y = y.reshape(n, h * w, num_heads, 3, ch)
@@ -215,6 +226,7 @@ def unet_block_apply(
     training: bool = False,
     dropout_key=None,
     compute_dtype=None,
+    attention_impl: str = "xla",
     **_unused,
 ):
     """Forward for one MP U-Net block (reference `unet_block.py:116-156`)."""
@@ -260,7 +272,8 @@ def unet_block_apply(
     x = mp.mp_sum([x, y], w=res_balance)
 
     if num_heads > 0:
-        x = mp.mp_sum([x, _attention(p, x, num_heads, dt)], w=attn_balance)
+        x = mp.mp_sum([x, _attention(p, x, num_heads, dt, attention_impl)],
+                      w=attn_balance)
 
     if clip_act is not None:
         x = jnp.clip(x, -clip_act, clip_act)
