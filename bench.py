@@ -4,15 +4,17 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Primary metric (BASELINE.json): denoise-steps/sec/chip — U-Net denoising
-forwards per second across the three stages on the real chip with warm
-jitted programs; also derives 512x512-tile p50 latency and tiles/sec.
+forwards per second across the three stages, measured as *marginal on-device
+time* (the stage core chained n times inside one jitted `lax.scan`, timing
+n=1 vs n=N and differencing).  This isolates TPU compute from the
+dispatch/transfer round-trip of the remote-device tunnel, which is reported
+separately; `block_until_ready` alone under-reports on this platform, and
+single-call timing over-reports (tunnel RTT dominates).
 
-Robustness: each stage benchmarks in a SUBPROCESS with a wall-clock budget —
-the remote-compile service behind the TPU tunnel can take tens of minutes or
-drop the connection on the largest programs.  If the full-size base model
-cannot compile inside the budget, progressively smaller widths are measured
-and the report notes the degradation.  Compiled programs persist in
-.cache/jax, so subsequent runs are fast.
+Robustness: each stage runs in a subprocess with a wall-clock budget;
+compiled programs persist in .cache/jax so re-runs skip compilation.
+Weights are always jit *arguments* (never baked HLO constants — that breaks
+the remote compile service on big models).
 """
 import json
 import os
@@ -24,7 +26,7 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _CACHE = os.path.join(_HERE, ".cache", "jax")
 
 _STAGE_SCRIPT = r"""
-import json, os, sys, time
+import functools, json, os, sys, time
 import numpy as np
 import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", os.environ["TD_CACHE"])
@@ -40,13 +42,18 @@ dt = jnp.bfloat16
 cfg = EDMSchedulerConfig()
 rng = np.random.default_rng(0)
 
-def timeit(fn, *args, iters=8):
-    out = fn(*args); jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+
+def measure(chain, args, n_long):
+    # compile both variants, then time with a forced scalar fetch
+    float(chain(*args, n=1))
+    float(chain(*args, n=n_long))
+    t0 = time.perf_counter(); float(chain(*args, n=1))
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); float(chain(*args, n=n_long))
+    tN = time.perf_counter() - t0
+    marginal = max((tN - t1) / (n_long - 1), 1e-6)
+    return marginal, max(t1 - marginal, 0.0)
+
 
 result = {}
 if stage == "coarse":
@@ -59,56 +66,66 @@ if stage == "coarse":
     p = jax.jit(model.init)(jax.random.key(0))
     sigmas0 = float(compute_sigmas(cfg, 20)[0])
     B = 4
-    @jax.jit
-    def prog(noise, cond_img, s0, s1, s2, s3, s4):
-        scalars = [s0, s1, s2, s3, s4]
-        def model_fn(scaled, sigma):
-            cnoise = trigflow_precondition_noise(sigma, cfg.sigma_data)
-            x_in = jnp.concatenate([scaled, cond_img], axis=-1).astype(dt)
-            return model.apply(p, x_in, jnp.full((B,), cnoise, dt), scalars,
-                              compute_dtype=dt).astype(jnp.float32)
-        return sample_dpm(model_fn, noise * sigmas0, cfg, 20)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def chain(params, noise, cond_img, scal, n):
+        scalars = [scal] * 5
+        def sample_once(carry, _):
+            def model_fn(scaled, sigma):
+                cnoise = trigflow_precondition_noise(sigma, cfg.sigma_data)
+                x_in = jnp.concatenate([scaled, cond_img + carry], axis=-1).astype(dt)
+                return model.apply(params, x_in, jnp.full((B,), cnoise, dt),
+                                   scalars, compute_dtype=dt).astype(jnp.float32)
+            out = sample_dpm(model_fn, noise * sigmas0, cfg, 20)
+            return out.mean() * 1e-6, ()
+        acc, _ = jax.lax.scan(sample_once, jnp.zeros(()), None, length=n)
+        return acc
+
     noise = jnp.asarray(rng.standard_normal((B, 64, 64, 6)), jnp.float32)
     cond = jnp.asarray(rng.standard_normal((B, 64, 64, 5)), jnp.float32)
-    ss = [jnp.full((B,), 0.1, jnp.float32)] * 5
-    t = timeit(prog, noise, cond, *ss, iters=3)
-    result = {"stage": "coarse", "batch": B, "steps": 20, "sec_per_call": t}
-elif stage.startswith("base"):
-    mc = int(stage[4:])
-    model = EDMUnet2D(EDMUnetConfig(
-        image_size=512, in_channels=5, out_channels=5, model_channels=mc,
-        model_channel_mults=(1, 2, 3, 4), layers_per_block=3,
-        attn_resolutions=(8, 16), midblock_attention=True, concat_balance=0.5,
-        conditional_inputs=(("tensor", 58, 1.0),), fourier_scale="pos"))
+    scal = jnp.full((B,), 0.1, jnp.float32)
+    marginal, rtt = measure(chain, (p, noise, cond, scal), 4)
+    result = {"stage": "coarse", "batch": B, "steps": 20,
+              "sec_per_call": marginal, "rtt_s": rtt}
+else:
+    if stage.startswith("base"):
+        mc = int(stage[4:])
+        model = EDMUnet2D(EDMUnetConfig(
+            image_size=512, in_channels=5, out_channels=5, model_channels=mc,
+            model_channel_mults=(1, 2, 3, 4), layers_per_block=3,
+            attn_resolutions=(8, 16), midblock_attention=True,
+            concat_balance=0.5, conditional_inputs=(("tensor", 58, 1.0),),
+            fourier_scale="pos"))
+        B, H, IC = 16, 64, 5
+        cond_args = [jnp.asarray(rng.standard_normal((B, 58)), jnp.float32)]
+    else:
+        mc = int(stage[7:])
+        model = EDMUnet2D(EDMUnetConfig(
+            image_size=512, in_channels=5, out_channels=1, model_channels=mc,
+            model_channel_mults=(1, 2, 3, 4), layers_per_block=3,
+            attn_resolutions=(), midblock_attention=False, concat_balance=0.5,
+            conditional_inputs=(), fourier_scale="pos"))
+        B, H, IC = 2, 512, 5
+        cond_args = []
     p = jax.jit(model.init)(jax.random.key(0))
-    B = 16
-    @jax.jit
-    def prog(x, nl, cond):
-        return model.apply(p, x.astype(dt), nl.astype(dt), [cond.astype(dt)],
-                           compute_dtype=dt)
-    x = jnp.asarray(rng.standard_normal((B, 64, 64, 5)), jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def chain(params, x, nl, n):
+        def body(carry, _):
+            out = model.apply(params, carry.astype(dt), nl.astype(dt),
+                              cond_args, compute_dtype=dt)
+            pad = x.shape[-1] - out.shape[-1]
+            if pad:
+                out = jnp.concatenate([out, carry[..., -pad:]], axis=-1)
+            return out.astype(jnp.float32), ()
+        out, _ = jax.lax.scan(body, x, None, length=n)
+        return out.mean()
+
+    x = jnp.asarray(rng.standard_normal((B, H, H, IC)), jnp.float32)
     nl = jnp.full((B,), 0.8, jnp.float32)
-    c = jnp.asarray(rng.standard_normal((B, 58)), jnp.float32)
-    t = timeit(prog, x, nl, c)
-    result = {"stage": stage, "batch": B, "steps": 1, "sec_per_call": t,
-              "model_channels": mc}
-elif stage.startswith("decoder"):
-    mc = int(stage[7:])
-    model = EDMUnet2D(EDMUnetConfig(
-        image_size=512, in_channels=5, out_channels=1, model_channels=mc,
-        model_channel_mults=(1, 2, 3, 4), layers_per_block=3,
-        attn_resolutions=(), midblock_attention=False, concat_balance=0.5,
-        conditional_inputs=(), fourier_scale="pos"))
-    p = jax.jit(model.init)(jax.random.key(0))
-    B = 2
-    @jax.jit
-    def prog(x, nl):
-        return model.apply(p, x.astype(dt), nl.astype(dt), [], compute_dtype=dt)
-    x = jnp.asarray(rng.standard_normal((B, 512, 512, 5)), jnp.float32)
-    nl = jnp.full((B,), 1.2, jnp.float32)
-    t = timeit(prog, x, nl)
-    result = {"stage": stage, "batch": B, "steps": 1, "sec_per_call": t,
-              "model_channels": mc}
+    marginal, rtt = measure(chain, (p, x, nl), 16)
+    result = {"stage": stage, "batch": B, "steps": 1,
+              "sec_per_call": marginal, "rtt_s": rtt, "model_channels": mc}
 with open(out_path, "w") as f:
     json.dump(result, f)
 """
@@ -147,7 +164,7 @@ def main():
         if base:
             if width != 192:
                 notes.append(f"base model measured at {width}ch "
-                             f"(192ch exceeded the remote-compile budget)")
+                             f"(192ch exceeded the compile budget)")
             break
     decoder = None
     for width in (64, 32):
@@ -160,19 +177,20 @@ def main():
     detail = {}
     steps_per_sec = 0.0
     if coarse:
-        detail["coarse_batch4_20step_s"] = round(coarse["sec_per_call"], 4)
+        detail["coarse_b4_20step_ms"] = round(coarse["sec_per_call"] * 1000, 3)
         steps_per_sec += coarse["batch"] * coarse["steps"] / coarse["sec_per_call"]
     if base:
-        detail["base_batch16_1step_s"] = round(base["sec_per_call"], 4)
+        detail["base_b16_fwd_ms"] = round(base["sec_per_call"] * 1000, 3)
         detail["base_model_channels"] = base["model_channels"]
         steps_per_sec += base["batch"] / base["sec_per_call"]
     if decoder:
-        detail["decoder_batch2_1step_s"] = round(decoder["sec_per_call"], 4)
+        detail["decoder_b2_fwd_ms"] = round(decoder["sec_per_call"] * 1000, 3)
         steps_per_sec += decoder["batch"] / decoder["sec_per_call"]
+    if base:
+        detail["dispatch_rtt_ms"] = round(base.get("rtt_s", 0) * 1000, 1)
 
-    # steady-state cost of one new 512px tile (stride 384):
-    # 1 decoder forward + ~4.5 latent forwards (2.25 tiles x 2 phases)
-    # + ~0.3 amortized coarse tile (20 steps each)
+    # steady-state cost of one new 512px output tile (stride 384):
+    # 1 decoder fwd + 4.5 latent fwds (2.25 tiles x 2 phases) + 0.3 coarse tiles
     tiles_per_sec = None
     if base and decoder and coarse:
         t_tile = (decoder["sec_per_call"] / decoder["batch"]

@@ -130,6 +130,7 @@ class WorldPipeline:
         decoder_tile_size: int = 512,
         decoder_tile_stride: int = 384,
         noise_mode: str = "threefry",
+        mesh=None,
         **deprecated_kwargs,
     ):
         if T not in (1, 2):
@@ -150,6 +151,11 @@ class WorldPipeline:
         self.decoder_tile_size = decoder_tile_size
         self.decoder_tile_stride = decoder_tile_stride
         self.noise_mode = noise_mode
+        # Optional jax.sharding.Mesh: tile batches are sharded over its
+        # 'data' axis so each stage program runs one slice per device
+        # (tile-parallel serving; batch buckets should be multiples of the
+        # device count for full utilization).
+        self.mesh = mesh
         if dtype == "bf16":
             self._dtype = jnp.bfloat16
         elif dtype == "fp16":
@@ -430,6 +436,38 @@ class WorldPipeline:
         return raw
 
     # ==================================================================
+    # Mesh sharding helpers (tile-parallel serving)
+    # ==================================================================
+    def _ndev(self) -> int:
+        return int(np.prod(self.mesh.devices.shape)) if self.mesh is not None else 1
+
+    def _mesh_buckets(self, buckets) -> tuple:
+        """Scale batch buckets to multiples of the mesh device count."""
+        n = self._ndev()
+        if n == 1:
+            return tuple(buckets)
+        return tuple(sorted({max(b, 1) * n for b in buckets}))
+
+    def _shard_batch(self, arr):
+        """Shard a stacked batch over the mesh's 'data' axis (leading dim)."""
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(arr, NamedSharding(self.mesh, P("data")))
+
+    def _replicated(self, params):
+        if self.mesh is None:
+            return params
+        key = id(params)
+        if key not in self._compiled.setdefault("_replicated", {}):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._compiled["_replicated"][key] = jax.device_put(
+                params, NamedSharding(self.mesh, P()))
+        return self._compiled["_replicated"][key]
+
+    # ==================================================================
     # Noise
     # ==================================================================
     def _noise_in_program(self, seed: int, y0, x0, h, w, channels, tile):
@@ -528,16 +566,20 @@ class WorldPipeline:
                     cns.append(self._noise_host(seed, i1, j1, TILE, TILE, 5, TILE))
                     sns.append(self._noise_host(seed + 1, i1, j1, TILE, TILE, 6, TILE))
             out = coarse_prog(
-                jnp.asarray(i1s), jnp.asarray(j1s),
-                jnp.asarray(np.stack(conds)), jnp.asarray(np.stack(cns)),
-                jnp.asarray(np.stack(sns)), params)
+                self._shard_batch(np.asarray(i1s)),
+                self._shard_batch(np.asarray(j1s)),
+                self._shard_batch(np.stack(conds)),
+                self._shard_batch(np.stack(cns)),
+                self._shard_batch(np.stack(sns)), self._replicated(params))
             return np.asarray(out, dtype=np.float32)
 
+        coarse_buckets = self._mesh_buckets((1, 2, 4))
         return InfiniteTensor(
             shape=(7, None, None), f=f,
             output_window=TensorWindow((7, TILE // pool, TILE // pool),
                                        (7, STRIDE // pool, STRIDE // pool)),
-            batch_size=4, vectorized=True, batch_buckets=(1, 2, 4),
+            batch_size=coarse_buckets[-1], vectorized=True,
+            batch_buckets=coarse_buckets,
             tile_store=self.tile_store, tensor_id="base_coarse_map")
 
     # ==================================================================
@@ -621,9 +663,12 @@ class WorldPipeline:
                         self._noise_host(seed + seed_offset, int(c[1]) * STRIDE,
                                          int(c[2]) * STRIDE, TILE, TILE, 5, TILE)
                         for c in ctxs])
-                out = prog(jnp.asarray(ctxs[:, 1]), jnp.asarray(ctxs[:, 2]),
-                           jnp.asarray(coarses), jnp.asarray(prevs),
-                           jnp.asarray(noise), params)
+                out = prog(self._shard_batch(np.ascontiguousarray(ctxs[:, 1])),
+                           self._shard_batch(np.ascontiguousarray(ctxs[:, 2])),
+                           self._shard_batch(np.asarray(coarses)),
+                           self._shard_batch(np.asarray(prevs)),
+                           self._shard_batch(np.asarray(noise)),
+                           self._replicated(params))
                 return np.asarray(out, dtype=np.float32)
             return f
 
@@ -637,7 +682,7 @@ class WorldPipeline:
         T_INTER = [float(np.arctan(0.35 / 0.5))]
         out_win = TensorWindow((6, TILE, TILE), (6, STRIDE, STRIDE))
         coarse_win = TensorWindow((7, 4, 4), (7, 1, 1), offset=(0, -1, -1))
-        buckets = tuple(self._batch_sizes)
+        buckets = self._mesh_buckets(self._batch_sizes)
 
         if self.T == 1:
             # Fused single-tensor path (`world_pipeline.py:1149-1172`): init +
@@ -657,7 +702,7 @@ class WorldPipeline:
             return InfiniteTensor(
                 shape=(6, None, None), f=f_t1, output_window=out_win,
                 args=(self.coarse,), args_windows=(coarse_win,),
-                batch_size=self.latents_batch_size, vectorized=True,
+                batch_size=buckets[-1], vectorized=True,
                 batch_buckets=buckets, tile_store=self.tile_store,
                 tensor_id="latent_map_T1")
 
@@ -665,7 +710,7 @@ class WorldPipeline:
         tensor = InfiniteTensor(
             shape=(6, None, None), f=init_f, output_window=out_win,
             args=(self.coarse,), args_windows=(coarse_win,),
-            batch_size=self.latents_batch_size, vectorized=True,
+            batch_size=buckets[-1], vectorized=True,
             batch_buckets=buckets, tile_store=self.tile_store,
             tensor_id="init_latent_map")
 
@@ -675,7 +720,7 @@ class WorldPipeline:
                 tensor = InfiniteTensor(
                     shape=(6, None, None), f=step_f, output_window=out_win,
                     args=(tensor, self.coarse), args_windows=(out_win, coarse_win),
-                    batch_size=self.latents_batch_size, vectorized=True,
+                    batch_size=buckets[-1], vectorized=True,
                     batch_buckets=buckets, tile_store=self.tile_store,
                     tensor_id=f"step_latent_map_{i}")
         return tensor
@@ -736,17 +781,22 @@ class WorldPipeline:
                                          int(c[2]) * STRIDE, TILE, TILE, 1, TILE)
                         for s in range(len(t_list))])
                     for c in ctxs])
-            out = prog(jnp.asarray(ctxs[:, 1]), jnp.asarray(ctxs[:, 2]),
-                       jnp.asarray(latents_regions), jnp.asarray(noise), params)
+            out = prog(self._shard_batch(np.ascontiguousarray(ctxs[:, 1])),
+                       self._shard_batch(np.ascontiguousarray(ctxs[:, 2])),
+                       self._shard_batch(np.asarray(latents_regions)),
+                       self._shard_batch(np.asarray(noise)),
+                       self._replicated(params))
             return np.asarray(out, dtype=np.float32)
 
         out_win = TensorWindow((2, TILE, TILE), (2, STRIDE, STRIDE))
         in_win = TensorWindow((6, TILE // lc, TILE // lc),
                               (6, STRIDE // lc, STRIDE // lc))
+        dec_buckets = self._mesh_buckets((1, 2))
         return InfiniteTensor(
             shape=(2, None, None), f=f, output_window=out_win,
             args=(self.latents,), args_windows=(in_win,),
-            batch_size=2, vectorized=True, batch_buckets=(1, 2),
+            batch_size=dec_buckets[-1], vectorized=True,
+            batch_buckets=dec_buckets,
             tile_store=self.tile_store, tensor_id="init_residual_map")
 
     # ==================================================================

@@ -6,7 +6,10 @@ dry-run-compiles the multi-chip path via __graft_entry__.dryrun_multichip.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force (override, not setdefault — the host may preset JAX_PLATFORMS to a
+# remote TPU platform, which would silently route every test through the
+# device tunnel).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,6 +22,10 @@ import pytest  # noqa: E402
 # Persistent XLA compilation cache: the pipeline tests are compile-bound on
 # CPU; caching makes re-runs fast.
 import jax  # noqa: E402
+
+# Belt and braces: some PJRT plugin setups ignore the env var, so force the
+# platform through the config API too.
+jax.config.update("jax_platforms", "cpu")
 
 _CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                           ".cache", "jax")

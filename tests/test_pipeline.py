@@ -117,3 +117,22 @@ def test_save_and_from_pretrained(models, tmp_path, pipe):
     assert p2.decoder_tile_size == 64  # persisted in config
     p2.bind()
     assert p2.coarse_model.config.in_channels == 11
+
+
+def test_mesh_tile_parallel(models):
+    """Tile batches shard across the 8-device CPU mesh; results identical to
+    the single-device pipeline."""
+    from terrain_diffusion_tpu.parallel import make_mesh
+
+    ref = _make_pipe(models)
+    ref.bind()
+    want = ref.coarse[:, 0:8, 0:8]
+
+    mesh = make_mesh()
+    assert int(np.prod(mesh.devices.shape)) == 8
+    p = _make_pipe(models, mesh=mesh, latents_batch_size=[1, 2])
+    p.bind()
+    got = p.coarse[:, 0:8, 0:8]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    lat = p.latents[:, 0:8, 0:8]
+    assert np.isfinite(lat).all()
