@@ -25,11 +25,20 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
 
 
 def shard_batch(mesh: Mesh, batch, axis: str = "data"):
-    """Shard every array leaf along its leading (batch) axis."""
-    sharding = NamedSharding(mesh, P(axis))
+    """Shard every array leaf along its leading (batch) axis.
+
+    Leaves whose leading dim is not divisible by the mesh size are
+    replicated instead (e.g. tiny debug batches on a big mesh).
+    """
+    n = int(np.prod(mesh.devices.shape))
+    sharded = NamedSharding(mesh, P(axis))
+    replicated = NamedSharding(mesh, P())
 
     def put(x):
-        return jax.device_put(x, sharding)
+        shape = np.shape(x)
+        if len(shape) >= 1 and shape[0] % n == 0:
+            return jax.device_put(x, sharded)
+        return jax.device_put(x, replicated)
 
     return jax.tree.map(put, batch)
 

@@ -573,7 +573,7 @@ class WorldPipeline:
                 self._shard_batch(np.stack(sns)), self._replicated(params))
             return np.asarray(out, dtype=np.float32)
 
-        coarse_buckets = self._mesh_buckets((1, 2, 4))
+        coarse_buckets = self._mesh_buckets((1, 2, 4, 8, 16))
         return InfiniteTensor(
             shape=(7, None, None), f=f,
             output_window=TensorWindow((7, TILE // pool, TILE // pool),
@@ -791,7 +791,7 @@ class WorldPipeline:
         out_win = TensorWindow((2, TILE, TILE), (2, STRIDE, STRIDE))
         in_win = TensorWindow((6, TILE // lc, TILE // lc),
                               (6, STRIDE // lc, STRIDE // lc))
-        dec_buckets = self._mesh_buckets((1, 2))
+        dec_buckets = self._mesh_buckets((1, 2, 4))
         return InfiniteTensor(
             shape=(2, None, None), f=f, output_window=out_win,
             args=(self.latents,), args_windows=(in_win,),
