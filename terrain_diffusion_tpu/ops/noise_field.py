@@ -12,8 +12,12 @@ in isolation and identical regardless of evaluation order — reference
 2. ``threefry_noise_patch`` / ``threefry_tile`` — *TPU-native* path:
    counter-based threefry (JAX's PRNG) keyed on ``(seed, ty, tx)``, evaluated
    **inside** jitted programs so batched multi-tile programs generate their
-   own noise on device with no host traffic.  Deterministic across JAX
-   backends and batch compositions.
+   own noise on device with no host traffic.  Bit-deterministic within a
+   backend regardless of batch composition or evaluation order; across
+   backends the threefry *bits* agree but the uint->normal transform uses
+   backend transcendental approximations, so values agree to ~3e-5 in
+   float32 (measured CPU vs TPU v5e) — far inside the pipeline's 1e-3
+   parity budget.
 
 Both support negative coordinates and arbitrary crops assembled from tile
 intersections.

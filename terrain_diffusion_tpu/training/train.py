@@ -107,6 +107,18 @@ def run_training(config: dict, ckpt_path: str | None = None,
                 counters["epoch"] = step // epoch_steps
                 trainer.save_checkpoint(state, ckpt_dir, counters)
                 print(f"checkpoint saved at step {step}")
+            validate_epochs = int(config.get("evaluation", {}).get(
+                "validate_epochs", 0))
+            if (validate_epochs and step > 0
+                    and step % (epoch_steps * validate_epochs) == 0
+                    and resolved.get("val_dataset") is not None
+                    and hasattr(trainer, "evaluate_full")):
+                key, ek = jax.random.split(key)
+                ev = trainer.evaluate_full(state, resolved["val_dataset"], ek)
+                line = {"step": step, **ev}
+                print(json.dumps(line), flush=True)
+                metrics_f.write(json.dumps(line) + "\n")
+                metrics_f.flush()
     trainer.save_checkpoint(state, ckpt_dir, counters)
     metrics_f.close()
     return state, counters

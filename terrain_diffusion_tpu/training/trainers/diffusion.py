@@ -81,3 +81,36 @@ class DiffusionTrainer(TrainerBase):
             losses.append(float(self._val_loss(
                 state["params"], self.prepare_batch(batch), sub)))
         return {"val_loss": float(np.mean(losses))} if losses else {}
+
+    def evaluate_full(self, state: dict, val_dataset, key) -> dict:
+        """Validation loss + KID with EMA weights (reference
+        `diffusion.py:355-427`): samples on val conditioning, optionally
+        decoding latents to terrain via `[evaluation] kid_autoencoder_path`."""
+        from terrain_diffusion_tpu.training.datasets import collate
+        from terrain_diffusion_tpu.training.trainers.eval_kid import evaluate_kid
+
+        ev = self.config.get("evaluation", {})
+        n_val = int(ev.get("validation_steps", 64))
+        bs = int(ev.get("kid_batch_size", 8))
+        batches = [collate([val_dataset[i * bs + j] for j in range(bs)])
+                   for i in range(max(n_val // bs, 1))]
+        key, k1, k2 = jax.random.split(key, 3)
+        out = self.evaluate(state, batches, k1)
+        if not ev.get("kid_enabled", False):
+            return out
+        params = state["params"]
+        if state.get("ema") is not None and state["ema"].emas:
+            params = state["ema"].emas[0]  # shortest sigma_rel EMA
+        decoder = None
+        if ev.get("kid_autoencoder_path"):
+            from terrain_diffusion_tpu.nn import torch_compat
+
+            decoder = torch_compat.load_model(ev["kid_autoencoder_path"])
+        kid = evaluate_kid(
+            self.model, params, val_dataset, k2,
+            mode=ev.get("mode", "base"),
+            n_images=int(ev.get("kid_n_images", 128)),
+            batch=bs, steps=int(ev.get("kid_scheduler_steps", 12)),
+            decoder=decoder)
+        out.update({f"val_{k}": v for k, v in kid.items()})
+        return out

@@ -254,3 +254,34 @@ def test_autoencoder_trainer_step():
     m = trainer.train_step(state, batch, jax.random.key(1), counters)
     assert np.isfinite(m["loss"])
     assert "mae" in m and "kl" in m
+
+
+def test_evaluate_full_with_kid(h5_fixture, tmp_path):
+    import jax as _jax
+
+    from terrain_diffusion_tpu.training import lr_sched as _ls
+    from terrain_diffusion_tpu.training.trainers.diffusion import DiffusionTrainer
+    from terrain_diffusion_tpu.nn import EDMUnet2D, EDMUnetConfig
+    from terrain_diffusion_tpu.training.datasets import H5LatentsDataset
+
+    model = EDMUnet2D(EDMUnetConfig(
+        image_size=64, in_channels=5, out_channels=5, model_channels=8,
+        model_channel_mults=(1,), layers_per_block=1,
+        conditional_inputs=(("tensor", 58, 1.0),), fourier_scale="pos"))
+    config = {"training": {"P_mean": -0.6, "P_std": 1.3},
+              "optimizer": {},
+              "evaluation": {"validate_epochs": 1, "validation_steps": 4,
+                             "kid_batch_size": 2, "kid_enabled": True,
+                             "kid_n_images": 4, "kid_scheduler_steps": 2}}
+    trainer = DiffusionTrainer(config, {
+        "model": model, "lr_sched": _ls.ConstantLRScheduler(1e-4)})
+    state = trainer.init_state(_jax.random.key(0))
+    val_ds = H5LatentsDataset(
+        h5_file=h5_fixture, crop_size=64, pct_land_ranges=[[0, 1]],
+        subset_resolutions=[90], subset_weights=[1.0],
+        latents_mean=[0, 0, 0, 0], latents_std=[1, 1, 1, 1], split="val",
+        cond_input_mean=[0, 0, 0, 0, 0, 0, 0.5],
+        cond_input_std=[1, 1, 1, 1, 1, 1, 0.5], val_dset=True)
+    out = trainer.evaluate_full(state, val_ds, _jax.random.key(1))
+    assert "val_loss" in out and "val_kid_mean" in out
+    assert np.isfinite(out["val_loss"]) and np.isfinite(out["val_kid_mean"])
