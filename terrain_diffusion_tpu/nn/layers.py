@@ -66,6 +66,45 @@ def mp_conv_apply(params, x, gain=1.0, groups: int = 1, no_padding: bool = False
     ).astype(dt)
 
 
+def mp_conv_resample_init(key, resample_mode: str, kernel, in_channels: int,
+                          out_channels: int):
+    """MPConvResample params (reference `mp_layers.py:133-156`): learned
+    up/down resampling conv blended with the parameter-free path."""
+    if resample_mode == "down":
+        shape = (kernel[0], kernel[1], in_channels, out_channels)  # HWIO
+    elif resample_mode in ("up", "up_bilinear"):
+        # transposed conv: stored HWOI-style (kernel, out, in) for lax transpose
+        shape = (kernel[0], kernel[1], out_channels, in_channels)
+    else:
+        raise ValueError("resample_mode must be 'up' or 'down'")
+    return {"w": jnp.ones(shape, dtype=jnp.float32)}
+
+
+def mp_conv_resample_apply(params, x, resample_mode: str, skip_weight: float = 0.0,
+                           gain=1.0, compute_dtype=None):
+    """Forward for MPConvResample (reference `mp_layers.py:157-176`):
+    mp_sum of [learned resample conv, parameter-free resample]."""
+    w = mp.normalize(params["w"])
+    stride = params["w"].shape[0]
+    fan = int(np.prod(w.shape[:2])) * (w.shape[2] if resample_mode == "down"
+                                       else w.shape[3])
+    w = w * (gain / math.sqrt(fan))
+    dt = compute_dtype or x.dtype
+    w = w.astype(dt)
+    x = x.astype(dt)
+    upsampled = resample(x, mode=resample_mode, factor=stride)
+    if resample_mode == "down":
+        dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            x, w, (stride, stride), "VALID", dimension_numbers=dn,
+            preferred_element_type=jnp.float32).astype(dt)
+    else:
+        dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWOI", "NHWC"))
+        y = jax.lax.conv_transpose(
+            x, w, (stride, stride), "VALID", dimension_numbers=dn).astype(dt)
+    return mp.mp_sum([y, upsampled], w=skip_weight)
+
+
 def mp_embedding_init(key, num_embeddings: int, dim: int):
     return {"w": jax.random.normal(key, (num_embeddings, dim), dtype=jnp.float32)}
 
@@ -144,11 +183,17 @@ def unet_block_init(
     channels_per_head: int = 64,
     no_padding: bool = False,
     expansion_factor: int = 1,
+    resample_type: str = "pooling",
+    resample_filter: int = 4,
     **_unused,
 ):
     """Parameters for one MP U-Net block (reference `unet_block.py:11-100`)."""
     keys = jax.random.split(key, 8)
     p = {"emb_gain": jnp.zeros(())}
+    if resample_type == "conv" and resample_mode != "keep":
+        p["resample"] = mp_conv_resample_init(
+            keys[7], resample_mode, [resample_filter, resample_filter],
+            in_channels, out_channels)
     if conv_type in ("fused", "default"):
         p["conv_res0"] = mp_conv_init(
             keys[0], out_channels if mode == "enc" else in_channels,
@@ -235,7 +280,13 @@ def unet_block_apply(
     num_heads = out_channels // channels_per_head if attention else 0
     dt = compute_dtype or x.dtype
 
-    x = resample(x, resample_mode)
+    if "resample" in p:
+        x = mp_conv_resample_apply(
+            p["resample"], x, resample_mode,
+            skip_weight=_unused.get("resample_skip_weight", 0.5),
+            compute_dtype=dt)
+    else:
+        x = resample(x, resample_mode)
     if mode == "enc":
         if "conv_skip" in p:
             x = mp_conv_apply(p["conv_skip"], x, compute_dtype=dt)

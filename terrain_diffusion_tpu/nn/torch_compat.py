@@ -59,7 +59,14 @@ def _unet_name_map(model: EDMUnet2D):
 
     def block_entries(prefix, tree_prefix, opts, cin, cout):
         entries = [(f"{prefix}.emb_gain", tree_prefix + ("emb_gain",), False)]
-        conv_type = {**cfg.block_kwargs, **opts}.get("conv_type", "default")
+        merged = {**cfg.block_kwargs, **opts}
+        if (merged.get("resample_type") == "conv"
+                and merged.get("resample_mode", "keep") != "keep"):
+            # MPConvResample: torch down (O,I,kh,kw) / up (I,O,kh,kw) both map
+            # via the standard (2,3,1,0) transpose to our HWIO / HWOI layouts
+            entries.append((f"{prefix}.resample.weight",
+                            tree_prefix + ("resample", "w"), False))
+        conv_type = merged.get("conv_type", "default")
         if conv_type == "mobile":
             entries.append((f"{prefix}.conv_res0.0.weight", tree_prefix + ("conv_res0_pw", "w"), False))
             entries.append((f"{prefix}.conv_res0.1.weight", tree_prefix + ("conv_res0_dw", "w"), False))

@@ -163,6 +163,28 @@ def _second_order_update(m0, m1, sample, sigma_t, sigma_s0, sigma_s1, noise, cfg
     return ratio * sample - (ratio - 1.0) * D0 + ((ratio - 1.0) / h + 1.0) * D1
 
 
+def _third_order_update(m0, m1, m2, sample, sigma_t, sigma_s0, sigma_s1,
+                        sigma_s2):
+    """Order-3 multistep DPM-Solver++ (reference `dpmsolver.py:563-615`)."""
+    eps = 1e-20
+    st = jnp.maximum(sigma_t, eps)
+    h = jnp.log(sigma_s0 / st)
+    h0 = jnp.log(sigma_s1 / sigma_s0)
+    h1 = jnp.log(sigma_s2 / sigma_s1)
+    r0 = h0 / h
+    r1 = h1 / h
+    D0 = m0
+    D1_0 = (m0 - m1) / r0
+    D1_1 = (m1 - m2) / r1
+    D1 = D1_0 + (r0 / (r0 + r1)) * (D1_0 - D1_1)
+    D2 = (D1_0 - D1_1) / (r0 + r1)
+    ratio = sigma_t / sigma_s0  # exp(-h)
+    return (ratio * sample
+            - (ratio - 1.0) * D0
+            + ((ratio - 1.0) / h + 1.0) * D1
+            - ((ratio - 1.0 + h) / h**2 - 0.5) * D2)
+
+
 def sample_dpm(
     model_fn: Callable,
     x_init,
@@ -189,13 +211,17 @@ def sample_dpm(
     sig_t = jnp.asarray(sigmas[1:], dtype=jnp.float32)
     sig_s0 = jnp.asarray(sigmas[:-1], dtype=jnp.float32)
     sig_s1 = jnp.asarray(np.concatenate([[sigmas[0]], sigmas[:-2]]), dtype=jnp.float32)
+    sig_s2 = jnp.asarray(
+        np.concatenate([sigmas[:2], sigmas[:-3]])[:num_steps], dtype=jnp.float32)
     ords = jnp.asarray(orders)
     if sde_noise is None:
         sde_noise = jnp.zeros((num_steps,) + x_init.shape, dtype=x_init.dtype)
 
+    use_third = cfg.solver_order >= 3
+
     def step(carry, xs):
-        sample, m_prev = carry
-        s_t, s_s0, s_s1, order, z = xs
+        sample, m_prev, m_prev2 = carry
+        s_t, s_s0, s_s1, s_s2, order, z = xs
         scaled = precondition_inputs(sample, s_s0, cfg.sigma_data)
         model_output = model_fn(scaled, s_s0)
         m0 = precondition_outputs(sample, model_output, s_s0, cfg.sigma_data,
@@ -203,10 +229,15 @@ def sample_dpm(
         up1 = _first_order_update(m0, sample, s_t, s_s0, z, cfg)
         up2 = _second_order_update(m0, m_prev, sample, s_t, s_s0, s_s1, z, cfg)
         new_sample = jnp.where(order == 1, up1, up2)
-        return (new_sample, m0), None
+        if use_third:
+            up3 = _third_order_update(m0, m_prev, m_prev2, sample,
+                                      s_t, s_s0, s_s1, s_s2)
+            new_sample = jnp.where(order == 3, up3, new_sample)
+        return (new_sample, m0, m_prev), None
 
-    (final, _), _ = jax.lax.scan(
-        step, (x_init, jnp.zeros_like(x_init)), (sig_t, sig_s0, sig_s1, ords, sde_noise)
+    (final, _, _), _ = jax.lax.scan(
+        step, (x_init, jnp.zeros_like(x_init), jnp.zeros_like(x_init)),
+        (sig_t, sig_s0, sig_s1, sig_s2, ords, sde_noise)
     )
     return final
 

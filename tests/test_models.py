@@ -202,3 +202,24 @@ def test_autoencoder_torch_roundtrip():
     a, _ = ae.preencode(params, x)
     b, _ = ae.preencode(params2, x)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+
+def test_conv_resample_block():
+    """resample_type='conv' (MPConvResample) up/down blocks run and keep
+    magnitudes sane."""
+    from terrain_diffusion_tpu.nn import layers as L
+
+    key = jax.random.key(0)
+    for mode, factor in (("down", 0.5), ("up", 2)):
+        p = L.unet_block_init(key, 16, 16, 0, mode="enc" if mode == "down" else "dec",
+                              resample_mode=mode, resample_type="conv",
+                              resample_filter=2)
+        assert "resample" in p
+        x = jax.random.normal(jax.random.key(1), (2, 16, 16, 16))
+        out = L.unet_block_apply(p, x, None, mode="enc" if mode == "down" else "dec",
+                                 resample_mode=mode, resample_type="conv")
+        expected = int(16 * (0.5 if mode == "down" else 2))
+        assert out.shape == (2, expected, expected, 16)
+        assert np.isfinite(np.asarray(out)).all()
+        s = float(jnp.std(out))
+        assert 0.05 < s < 20

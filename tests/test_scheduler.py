@@ -34,15 +34,18 @@ def _oracle_sample(model, x, sigmas, cfg):
         m0 = c_skip * x + c_out * out
         m_hist.append(m0)
         last = i == n - 1
+        second_last = i == n - 2
         use1 = (
             cfg.solver_order == 1
             or lower_order_nums < 1
             or (last and (cfg.final_sigmas_type == "zero" or (cfg.lower_order_final and n < 15)))
         )
+        use2 = (cfg.solver_order == 2 or lower_order_nums < 2
+                or (second_last and cfg.lower_order_final and n < 15))
         if use1:
             r = st / s0
             x = r * x - (r - 1) * m0
-        else:
+        elif use2:
             s1 = sigmas[i - 1]
             h = np.log(s0 / max(st, 1e-20))
             h0 = np.log(s1 / s0)
@@ -50,6 +53,20 @@ def _oracle_sample(model, x, sigmas, cfg):
             D0, D1 = m0, (m0 - m_hist[-2]) / r0
             r = st / s0
             x = r * x - (r - 1) * D0 - 0.5 * (r - 1) * D1
+        else:
+            s1, s2 = sigmas[i - 1], sigmas[i - 2]
+            h = np.log(s0 / max(st, 1e-20))
+            h0 = np.log(s1 / s0)
+            h1 = np.log(s2 / s1)
+            r0, r1 = h0 / h, h1 / h
+            D0 = m0
+            D1_0 = (m0 - m_hist[-2]) / r0
+            D1_1 = (m_hist[-2] - m_hist[-3]) / r1
+            D1 = D1_0 + (r0 / (r0 + r1)) * (D1_0 - D1_1)
+            D2 = (D1_0 - D1_1) / (r0 + r1)
+            r = st / s0
+            x = (r * x - (r - 1) * D0 + ((r - 1) / h + 1.0) * D1
+                 - ((r - 1 + h) / h**2 - 0.5) * D2)
         if lower_order_nums < cfg.solver_order:
             lower_order_nums += 1
     return x
@@ -60,9 +77,10 @@ def _toy_model(scaled, sigma):
     return np.tanh(scaled * 1.7) + 0.1 * np.asarray(sigma) ** 0.5
 
 
-@pytest.mark.parametrize("num_steps", [1, 2, 5, 20])
-def test_scan_matches_sequential_oracle(num_steps, rng):
-    cfg = EDMSchedulerConfig()
+@pytest.mark.parametrize("num_steps,order", [(1, 2), (2, 2), (5, 2), (20, 2),
+                                             (20, 3)])
+def test_scan_matches_sequential_oracle(num_steps, order, rng):
+    cfg = EDMSchedulerConfig(solver_order=order)
     sigmas = compute_sigmas(cfg, num_steps)
     x0 = rng.standard_normal((2, 8, 8)).astype(np.float32) * sigmas[0]
 
