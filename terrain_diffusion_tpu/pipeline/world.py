@@ -822,7 +822,7 @@ class WorldPipeline:
             self._compiled["elev_core"] = core
         return self._compiled["elev_core"]
 
-    def _compute_elev(self, i1, j1, i2, j2, scale: int) -> np.ndarray:
+    def _compute_elev(self, i1, j1, i2, j2, scale: int):
         """Elevation in meters for [i1:i2) x [j1:j2)
         (reference `_compute_elev`, :1276-1313)."""
         sigma = 5
@@ -840,10 +840,11 @@ class WorldPipeline:
 
         residual_init = self.residual[:, pi1:pi2, pj1:pj2]
         latents_init = self.latents[:, pi1 // scale:pi2 // scale, pj1 // scale:pj2 // scale]
-        out = self._elev_core()(
+        # returns a device array so climate composition can consume it
+        # without a host round trip; get() materializes once at the end
+        return self._elev_core()(
             jnp.asarray(residual_init), jnp.asarray(latents_init),
             oi=i1 - pi1, oj=j1 - pj1, h=i2 - i1, w=j2 - j1)
-        return np.asarray(out, dtype=np.float32)
 
     def _compute_climate(self, i1, j1, i2, j2, elev: np.ndarray, scale: int) -> np.ndarray:
         """(5, H, W) climate [temp, t_season, precip, p_cv, beta]
@@ -893,8 +894,10 @@ class WorldPipeline:
 
     def get(self, i1, j1, i2, j2, with_climate: bool = True) -> dict:
         """Terrain for bounding box: elev (H, W) meters [+ climate (5, H, W)]."""
-        elev = self._compute_elev(i1, j1, i2, j2, scale=self.latent_compression)
-        climate = (self._compute_climate(i1, j1, i2, j2, elev,
+        elev_dev = self._compute_elev(i1, j1, i2, j2,
+                                      scale=self.latent_compression)
+        climate = (self._compute_climate(i1, j1, i2, j2, elev_dev,
                                          scale=self.latent_compression)
                    if with_climate else None)
-        return {"elev": elev, "climate": climate}
+        return {"elev": np.asarray(elev_dev, dtype=np.float32),
+                "climate": climate}
