@@ -172,10 +172,12 @@ def configure(**config):
 @click.option("--dtype", type=click.Choice(["fp32", "bf16", "fp16"]), default="fp32")
 @click.option("--host", default="0.0.0.0")
 @click.option("--port", type=int, default=int(os.getenv("PORT", "8000")))
+@click.option("--threaded/--no-threaded", default=False,
+              help="Accept concurrent clients (generation stays serialized)")
 @click.option("--kwarg", "extra_kwargs", multiple=True,
               help="Additional key=value pipeline kwargs")
 def main(model_path, caching_strategy, hdf5_file, cache_size, seed, batch_size,
-         log_mode, dtype, host, port, extra_kwargs):
+         log_mode, dtype, host, port, threaded, extra_kwargs):
     """Terrain API server."""
     if caching_strategy == "indirect" and hdf5_file is None:
         hdf5_file = "TEMP"
@@ -195,7 +197,7 @@ def main(model_path, caching_strategy, hdf5_file, cache_size, seed, batch_size,
         kwargs=parse_kwargs(extra_kwargs),
     )
     _get_pipeline()
-    app.run(host=host, port=port)
+    app.run(host=host, port=port, threaded=threaded)
 
 
 if __name__ == "__main__":

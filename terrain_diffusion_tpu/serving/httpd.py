@@ -125,14 +125,38 @@ class App:
                        list(resp.headers.items()))
         return [resp.body]
 
-    def run(self, host: str = "0.0.0.0", port: int = 8000, quiet: bool = False):
+    def run(self, host: str = "0.0.0.0", port: int = 8000, quiet: bool = False,
+            threaded: bool = False):
+        """Serve forever.  threaded=True accepts concurrent clients (handler
+        execution still serialized by `self.lock`, so the pipeline's tile
+        stores never race — same concurrency contract as the reference's
+        single-threaded Flask, but clients aren't blocked at accept)."""
+        import socketserver
+        import threading
+
         handler_cls = WSGIRequestHandler
         if quiet:
             class _Quiet(WSGIRequestHandler):
                 def log_message(self, *a):
                     pass
             handler_cls = _Quiet
-        with make_server(host, port, self.wsgi, server_class=WSGIServer,
+        lock = threading.Lock()
+        inner = self.wsgi
+
+        def locked_wsgi(environ, start_response):
+            with lock:
+                return inner(environ, start_response)
+
+        server_cls = WSGIServer
+        app_fn = inner
+        mode = "single-threaded"
+        if threaded:
+            class _ThreadingWSGIServer(socketserver.ThreadingMixIn, WSGIServer):
+                daemon_threads = True
+            server_cls = _ThreadingWSGIServer
+            app_fn = locked_wsgi
+            mode = "threaded (serialized pipeline)"
+        with make_server(host, port, app_fn, server_class=server_cls,
                          handler_class=handler_cls) as httpd:
-            print(f"* Serving {self.name} on http://{host}:{port} (single-threaded)")
+            print(f"* Serving {self.name} on http://{host}:{port} ({mode})")
             httpd.serve_forever()

@@ -424,9 +424,11 @@ app.route("/11")(_legacy(8))
 @click.option("--dtype", type=click.Choice(["fp32", "bf16", "fp16"]), default="fp32")
 @click.option("--host", default="0.0.0.0")
 @click.option("--port", type=int, default=int(os.getenv("PORT", "8000")))
+@click.option("--threaded/--no-threaded", default=False,
+              help="Accept concurrent clients (generation stays serialized)")
 @click.option("--kwarg", "extra_kwargs", multiple=True)
 def main(model_path, caching_strategy, hdf5_file, cache_size, seed, batch_size,
-         log_mode, dtype, host, port, extra_kwargs):
+         log_mode, dtype, host, port, threaded, extra_kwargs):
     """Minecraft terrain API server."""
     if caching_strategy == "indirect" and hdf5_file is None:
         hdf5_file = "TEMP"
@@ -440,7 +442,7 @@ def main(model_path, caching_strategy, hdf5_file, cache_size, seed, batch_size,
         dtype=None if dtype == "fp32" else dtype,
         kwargs=parse_kwargs(extra_kwargs))
     _get_pipeline()
-    app.run(host=host, port=port)
+    app.run(host=host, port=port, threaded=threaded)
 
 
 if __name__ == "__main__":
