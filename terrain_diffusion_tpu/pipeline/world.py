@@ -27,10 +27,12 @@ host boundary.
 """
 from __future__ import annotations
 
+import contextlib
 import functools
 import json
 import os
 import tempfile
+import time
 
 import numpy as np
 
@@ -198,6 +200,7 @@ class WorldPipeline:
         self.custom_conditioning_import_origins = {}
         self.custom_conditioning_default_values = {}
         self._compiled = {}
+        self.stage_timings = {}
 
     # ==================================================================
     # Config / model IO
@@ -342,6 +345,37 @@ class WorldPipeline:
     def __exit__(self, *exc):
         self.close()
         return False
+
+    # ==================================================================
+    # Observability (SURVEY §5.1: per-stage timing + profiler traces)
+    # ==================================================================
+    def _timed(self, stage: str, fn):
+        """Wrap a stage call with accumulated wall timing; verbose mode
+        prints per call, and `stage_timings` aggregates for reporting."""
+        t0 = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t0
+        agg = self.stage_timings.setdefault(stage, [0, 0.0])
+        agg[0] += 1
+        agg[1] += dt
+        if self.log_mode == "verbose":
+            print(f"[{stage}] {dt * 1000:.1f} ms")
+        return out
+
+    def timing_summary(self) -> dict:
+        return {k: {"calls": v[0], "total_s": round(v[1], 4),
+                    "mean_ms": round(v[1] / max(v[0], 1) * 1000, 2)}
+                for k, v in self.stage_timings.items()}
+
+    @contextlib.contextmanager
+    def profile(self, log_dir: str):
+        """Capture a jax.profiler trace of everything inside the block
+        (view with TensorBoard / xprof)."""
+        jax.profiler.start_trace(log_dir)
+        try:
+            yield self
+        finally:
+            jax.profiler.stop_trace()
 
     def rebuild(self):
         if self.tile_store is None:
@@ -565,13 +599,13 @@ class WorldPipeline:
                 else:
                     cns.append(self._noise_host(seed, i1, j1, TILE, TILE, 5, TILE))
                     sns.append(self._noise_host(seed + 1, i1, j1, TILE, TILE, 6, TILE))
-            out = coarse_prog(
+            return self._timed("coarse", lambda: np.asarray(coarse_prog(
                 self._shard_batch(np.asarray(i1s)),
                 self._shard_batch(np.asarray(j1s)),
                 self._shard_batch(np.stack(conds)),
                 self._shard_batch(np.stack(cns)),
-                self._shard_batch(np.stack(sns)), self._replicated(params))
-            return np.asarray(out, dtype=np.float32)
+                self._shard_batch(np.stack(sns)), self._replicated(params)),
+                dtype=np.float32))
 
         coarse_buckets = self._mesh_buckets((1, 2, 4, 8, 16))
         return InfiniteTensor(
@@ -663,13 +697,14 @@ class WorldPipeline:
                         self._noise_host(seed + seed_offset, int(c[1]) * STRIDE,
                                          int(c[2]) * STRIDE, TILE, TILE, 5, TILE)
                         for c in ctxs])
-                out = prog(self._shard_batch(np.ascontiguousarray(ctxs[:, 1])),
-                           self._shard_batch(np.ascontiguousarray(ctxs[:, 2])),
-                           self._shard_batch(np.asarray(coarses)),
-                           self._shard_batch(np.asarray(prevs)),
-                           self._shard_batch(np.asarray(noise)),
-                           self._replicated(params))
-                return np.asarray(out, dtype=np.float32)
+                stage = "latent_step" if with_prev else "latent_init"
+                return self._timed(stage, lambda: np.asarray(prog(
+                    self._shard_batch(np.ascontiguousarray(ctxs[:, 1])),
+                    self._shard_batch(np.ascontiguousarray(ctxs[:, 2])),
+                    self._shard_batch(np.asarray(coarses)),
+                    self._shard_batch(np.asarray(prevs)),
+                    self._shard_batch(np.asarray(noise)),
+                    self._replicated(params)), dtype=np.float32))
             return f
 
         return make_f()
@@ -781,12 +816,12 @@ class WorldPipeline:
                                          int(c[2]) * STRIDE, TILE, TILE, 1, TILE)
                         for s in range(len(t_list))])
                     for c in ctxs])
-            out = prog(self._shard_batch(np.ascontiguousarray(ctxs[:, 1])),
-                       self._shard_batch(np.ascontiguousarray(ctxs[:, 2])),
-                       self._shard_batch(np.asarray(latents_regions)),
-                       self._shard_batch(np.asarray(noise)),
-                       self._replicated(params))
-            return np.asarray(out, dtype=np.float32)
+            return self._timed("decoder", lambda: np.asarray(prog(
+                self._shard_batch(np.ascontiguousarray(ctxs[:, 1])),
+                self._shard_batch(np.ascontiguousarray(ctxs[:, 2])),
+                self._shard_batch(np.asarray(latents_regions)),
+                self._shard_batch(np.asarray(noise)),
+                self._replicated(params)), dtype=np.float32))
 
         out_win = TensorWindow((2, TILE, TILE), (2, STRIDE, STRIDE))
         in_win = TensorWindow((6, TILE // lc, TILE // lc),
