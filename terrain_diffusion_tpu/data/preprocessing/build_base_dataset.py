@@ -7,7 +7,6 @@ chunks, and Welford stats in group attrs.
 from __future__ import annotations
 
 import concurrent.futures as cf
-import os
 
 import click
 import numpy as np

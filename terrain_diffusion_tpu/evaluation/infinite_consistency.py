@@ -21,7 +21,6 @@ import click
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 from terrain_diffusion_tpu.evaluation import (constant_weight_window,
                                               linear_weight_window)

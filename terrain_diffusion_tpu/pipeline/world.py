@@ -67,7 +67,6 @@ from terrain_diffusion_tpu.runtime import (
 from terrain_diffusion_tpu.scheduler import (
     EDMSchedulerConfig,
     compute_sigmas,
-    precondition_inputs,
     trigflow_precondition_noise,
 )
 

@@ -19,7 +19,6 @@ finite without special-casing.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable, Optional
 
 import jax

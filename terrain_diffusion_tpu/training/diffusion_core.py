@@ -16,7 +16,7 @@ forced weight re-normalization after each update (EDM2 semantics).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

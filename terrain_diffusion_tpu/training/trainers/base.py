@@ -8,7 +8,6 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Any
 
 import jax
 import numpy as np

@@ -251,3 +251,22 @@ def test_tiff_export_pipeline(tmp_path, pipe):
         assert (tmp_path / "out.tif").exists()
     finally:
         tiff_export.PIXELS_PER_CELL, tiff_export.PADDING = old_ppc, old_pad
+
+
+def test_explorer_detail_endpoints(pipe):
+    from terrain_diffusion_tpu.serving.explorer import server
+
+    server.configure(pipeline=pipe)
+    for mode in ("relief", "elevation"):
+        status, _, body = _wsgi_get(
+            server.app, f"/api/detail.png?ci=0&cj=0&detail_size=16&mode={mode}")
+        assert status.startswith("200"), body
+        assert body[:8] == b"\x89PNG\r\n\x1a\n"
+
+    status, headers, body = _wsgi_get(
+        server.app, "/api/detail_raw?ci=0&cj=0&detail_size=16")
+    assert status.startswith("200")
+    h, w = int(headers["X-Height"]), int(headers["X-Width"])
+    assert (h, w) == (16, 16)
+    expected = h * w * 2 + (h * w * 4 if headers["X-Has-Temp"] == "1" else 0)
+    assert len(body) == expected
