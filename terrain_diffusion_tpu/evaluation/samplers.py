@@ -8,6 +8,7 @@ overlap-blend algebra as the pipeline (linear weight windows, sum + divide).
 """
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional
 
 import numpy as np
@@ -58,6 +59,53 @@ def _model_with_guidance(model, params, guide_model=None, guide_params=None,
     return fwd
 
 
+@functools.lru_cache(maxsize=64)
+def _jitted_dpm_tile(model, guide_model, guidance_scale: float, steps: int,
+                     cfg: EDMSchedulerConfig):
+    """Cached jitted DPM tile sampler; params are arguments (never baked)."""
+
+    @jax.jit
+    def run(params, guide_params, noise, cond_list):
+        fwd = _model_with_guidance(model, params, guide_model, guide_params,
+                                   guidance_scale)
+
+        def model_fn(scaled, sigma):
+            cnoise = trigflow_precondition_noise(sigma, cfg.sigma_data)
+            nl = jnp.full((noise.shape[0],), cnoise, scaled.dtype)
+            return fwd(scaled, nl, cond_list)
+
+        return sample_dpm(model_fn, noise, cfg, steps)
+
+    return run
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_decoder_step(model, cfg: EDMSchedulerConfig):
+    @jax.jit
+    def run(params, z, cond_up, t):
+        sd = cfg.sigma_data
+        x_t = jnp.sin(t) * z * sd
+        model_in = jnp.concatenate([x_t / sd, cond_up], axis=-1)
+        nl = jnp.full((z.shape[0],), t, jnp.float32)
+        pred = -model.apply(params, model_in, nl, [])
+        return jnp.cos(t) * x_t - jnp.sin(t) * sd * pred
+
+    return run
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_consistency_step(model, cfg: EDMSchedulerConfig):
+    @jax.jit
+    def run(params, sample, z, t, cond_list):
+        sd = cfg.sigma_data
+        x_t = jnp.cos(t) * sample + jnp.sin(t) * z * sd
+        nl = jnp.full((x_t.shape[0],), t, x_t.dtype)
+        pred = -model.apply(params, x_t / sd, nl, cond_list)
+        return jnp.cos(t) * x_t - jnp.sin(t) * sd * pred
+
+    return run
+
+
 def sample_base_diffusion(model, params, shape, cond_inputs, *, key,
                           steps: int = 15, cfg: EDMSchedulerConfig | None = None,
                           guide_model=None, guide_params=None,
@@ -75,17 +123,11 @@ def sample_base_diffusion(model, params, shape, cond_inputs, *, key,
     cfg = cfg or EDMSchedulerConfig()
     sigmas0 = float(compute_sigmas(cfg, steps)[0])
     B, H, W, C = shape
+    dpm = _jitted_dpm_tile(model, guide_model, guidance_scale, steps, cfg)
 
     def run_tile(noise, tile_cond):
-        fwd = _model_with_guidance(model, params, guide_model, guide_params,
-                                   guidance_scale)
-
-        def model_fn(scaled, sigma):
-            cnoise = trigflow_precondition_noise(sigma, cfg.sigma_data)
-            nl = jnp.full((noise.shape[0],), cnoise, scaled.dtype)
-            return fwd(scaled, nl, tile_cond)
-
-        return sample_dpm(model_fn, noise, cfg, steps)
+        return dpm(params, guide_params if guide_model is not None else {},
+                   noise, list(tile_cond))
 
     if tile_size is None:
         noise = jax.random.normal(key, shape) * sigmas0
@@ -131,13 +173,10 @@ def sample_base_consistency(model, params, shape, cond_inputs, *, key,
     if inter_t is not None:
         t_steps.append(float(inter_t))
     B, H, W, C = shape
+    cstep = _jitted_consistency_step(model, cfg)
 
     def consistency_step(sample, z, t, tile_cond):
-        t = jnp.float32(t)
-        x_t = jnp.cos(t) * sample + jnp.sin(t) * z * sd
-        nl = jnp.full((x_t.shape[0],), t, x_t.dtype)
-        pred = -model.apply(params, x_t / sd, nl, tile_cond)
-        return jnp.cos(t) * x_t - jnp.sin(t) * sd * pred
+        return cstep(params, sample, z, jnp.float32(t), list(tile_cond))
 
     if tile_size is None:
         sample = jnp.zeros(shape)
@@ -189,22 +228,18 @@ def sample_decoder_consistency_tiled(model, params, latents, *, key,
     lc = latent_compression
     B, h, w, C = latents.shape
     H, W = h * lc, w * lc
-    up = jnp.moveaxis(upsample_nearest(jnp.moveaxis(latents, -1, 1), lc), 1, -1)
+    up = jnp.moveaxis(upsample_nearest(jnp.moveaxis(jnp.asarray(latents), -1, 1), lc), 1, -1)
     weights = jnp.asarray(weight_window_fn(tile_size))[None, :, :, None]
     key, sub = jax.random.split(key)
     z_full = jax.random.normal(sub, (B, H, W, 1))
     out = jnp.zeros((B, H, W, 1))
     out_w = jnp.zeros((B, H, W, 1))
+    dec = _jitted_decoder_step(model, cfg)
     for i0 in tile_starts(H, tile_size, stride):
         for j0 in tile_starts(W, tile_size, stride):
             sl = (slice(None), slice(i0, i0 + tile_size),
                   slice(j0, j0 + tile_size), slice(None))
-            z = z_full[sl]
-            x_t = jnp.sin(t) * z * sd
-            model_in = jnp.concatenate([x_t / sd, up[sl]], axis=-1)
-            nl = jnp.full((B,), t, jnp.float32)
-            pred = -model.apply(params, model_in, nl, [])
-            tile = jnp.cos(t) * x_t - jnp.sin(t) * sd * pred
+            tile = dec(params, z_full[sl], up[sl], jnp.float32(t))
             out = out.at[sl].add(tile * weights)
             out_w = out_w.at[sl].add(jnp.broadcast_to(weights, tile.shape))
     return out / out_w / sd

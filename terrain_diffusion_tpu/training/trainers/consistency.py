@@ -59,26 +59,44 @@ class ConsistencyTrainer(TrainerBase):
             self.guide_params = guide_params
 
     def _build_step(self):
-        teacher_params = self.teacher_params
+        """Build the jitted step.  Teacher/guide params are jit ARGUMENTS,
+        never closure captures — closed-over params get baked into the HLO
+        as constants, which explodes compile payloads (hundreds of MB) and
+        breaks remote-compile backends."""
+        has_guide = self.guide_params is not None
+        guide_model = self.guide or self.model
+        import optax
 
-        def teacher_apply(x, cnoise, cond_inputs):
-            return jax.lax.stop_gradient(
-                self.model.apply(teacher_params, x, cnoise, cond_inputs))
+        from terrain_diffusion_tpu.nn.layers import norm_weights_tree
 
-        guide_apply = None
-        if self.guide_params is not None:
-            guide, guide_params = self.guide or self.model, self.guide_params
-
-            def guide_apply(x, cnoise, cond_inputs):  # noqa: F811
+        def step(params, opt_state, batch, key, lr, teacher_params,
+                 guide_params):
+            def teacher_apply(x, cnoise, cond_inputs):
                 return jax.lax.stop_gradient(
-                    guide.apply(guide_params, x, cnoise, cond_inputs))
+                    self.model.apply(teacher_params, x, cnoise, cond_inputs))
 
-        def loss_fn(params, batch, key):
-            return consistency_loss(self.model, params, teacher_apply, batch,
-                                    key, self.loss_cfg, batch["_step"],
-                                    guide_apply=guide_apply)
+            guide_apply = None
+            if has_guide:
+                def guide_apply(x, cnoise, cond_inputs):  # noqa: F811
+                    return jax.lax.stop_gradient(
+                        guide_model.apply(guide_params, x, cnoise, cond_inputs))
 
-        self._step = jax.jit(make_train_step(loss_fn, self.optimizer))
+            def loss_fn(p, b, k):
+                return consistency_loss(self.model, p, teacher_apply, b, k,
+                                        self.loss_cfg, b["_step"],
+                                        guide_apply=guide_apply)
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, key)
+            opt_state.hyperparams["learning_rate"] = lr
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            params = norm_weights_tree(params)
+            metrics = {"loss": loss, "grad_norm": optax.global_norm(grads),
+                       **aux}
+            return params, opt_state, metrics
+
+        self._step = jax.jit(step)
 
     def init_state(self, key, save_dir=None) -> dict:
         if self.teacher_params is not None:
@@ -109,7 +127,9 @@ class ConsistencyTrainer(TrainerBase):
         lr = self.lr_sched.get(counters["seen"])
         params, opt_state, metrics = self._step(
             state["params"], state["opt_state"],
-            self.prepare_batch(batch, counters["step"]), key, jnp.float32(lr))
+            self.prepare_batch(batch, counters["step"]), key, jnp.float32(lr),
+            self.teacher_params,
+            self.guide_params if self.guide_params is not None else {})
         state["params"] = params
         state["opt_state"] = opt_state
         counters["seen"] += int(np.shape(batch["image"])[0])
