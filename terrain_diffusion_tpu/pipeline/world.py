@@ -598,13 +598,12 @@ class WorldPipeline:
                 else:
                     cns.append(self._noise_host(seed, i1, j1, TILE, TILE, 5, TILE))
                     sns.append(self._noise_host(seed + 1, i1, j1, TILE, TILE, 6, TILE))
-            return self._timed("coarse", lambda: np.asarray(coarse_prog(
+            return self._timed("coarse", lambda: coarse_prog(
                 self._shard_batch(np.asarray(i1s)),
                 self._shard_batch(np.asarray(j1s)),
                 self._shard_batch(np.stack(conds)),
                 self._shard_batch(np.stack(cns)),
-                self._shard_batch(np.stack(sns)), self._replicated(params)),
-                dtype=np.float32))
+                self._shard_batch(np.stack(sns)), self._replicated(params)))
 
         coarse_buckets = self._mesh_buckets((1, 2, 4, 8, 16))
         return InfiniteTensor(
@@ -613,7 +612,8 @@ class WorldPipeline:
                                        (7, STRIDE // pool, STRIDE // pool)),
             batch_size=coarse_buckets[-1], vectorized=True,
             batch_buckets=coarse_buckets,
-            tile_store=self.tile_store, tensor_id="base_coarse_map")
+            tile_store=self.tile_store, tensor_id="base_coarse_map",
+            device_cache_tiles=256)
 
     # ==================================================================
     # Latent stage
@@ -697,13 +697,13 @@ class WorldPipeline:
                                          int(c[2]) * STRIDE, TILE, TILE, 5, TILE)
                         for c in ctxs])
                 stage = "latent_step" if with_prev else "latent_init"
-                return self._timed(stage, lambda: np.asarray(prog(
+                return self._timed(stage, lambda: prog(
                     self._shard_batch(np.ascontiguousarray(ctxs[:, 1])),
                     self._shard_batch(np.ascontiguousarray(ctxs[:, 2])),
                     self._shard_batch(np.asarray(coarses)),
                     self._shard_batch(np.asarray(prevs)),
                     self._shard_batch(np.asarray(noise)),
-                    self._replicated(params)), dtype=np.float32))
+                    self._replicated(params)))
             return f
 
         return make_f()
@@ -728,9 +728,9 @@ class WorldPipeline:
                        for i, t in enumerate(steps)]
 
             def f_t1(ctxs, coarses):
-                out = init_f(ctxs, coarses)
+                out = np.asarray(init_f(ctxs, coarses))
                 for sf in step_fs:
-                    out = sf(ctxs, out, coarses)
+                    out = np.asarray(sf(ctxs, out, coarses))
                 return out
 
             return InfiniteTensor(
@@ -738,7 +738,7 @@ class WorldPipeline:
                 args=(self.coarse,), args_windows=(coarse_win,),
                 batch_size=buckets[-1], vectorized=True,
                 batch_buckets=buckets, tile_store=self.tile_store,
-                tensor_id="latent_map_T1")
+                tensor_id="latent_map_T1", device_cache_tiles=256)
 
         init_f = self._latent_program(t_init, 5819, with_prev=False)
         tensor = InfiniteTensor(
@@ -756,7 +756,7 @@ class WorldPipeline:
                     args=(tensor, self.coarse), args_windows=(out_win, coarse_win),
                     batch_size=buckets[-1], vectorized=True,
                     batch_buckets=buckets, tile_store=self.tile_store,
-                    tensor_id=f"step_latent_map_{i}")
+                    tensor_id=f"step_latent_map_{i}", device_cache_tiles=256)
         return tensor
 
     # ==================================================================
@@ -815,12 +815,12 @@ class WorldPipeline:
                                          int(c[2]) * STRIDE, TILE, TILE, 1, TILE)
                         for s in range(len(t_list))])
                     for c in ctxs])
-            return self._timed("decoder", lambda: np.asarray(prog(
+            return self._timed("decoder", lambda: prog(
                 self._shard_batch(np.ascontiguousarray(ctxs[:, 1])),
                 self._shard_batch(np.ascontiguousarray(ctxs[:, 2])),
                 self._shard_batch(np.asarray(latents_regions)),
                 self._shard_batch(np.asarray(noise)),
-                self._replicated(params)), dtype=np.float32))
+                self._replicated(params)))
 
         out_win = TensorWindow((2, TILE, TILE), (2, STRIDE, STRIDE))
         in_win = TensorWindow((6, TILE // lc, TILE // lc),
@@ -831,7 +831,8 @@ class WorldPipeline:
             args=(self.latents,), args_windows=(in_win,),
             batch_size=dec_buckets[-1], vectorized=True,
             batch_buckets=dec_buckets,
-            tile_store=self.tile_store, tensor_id="init_residual_map")
+            tile_store=self.tile_store, tensor_id="init_residual_map",
+            device_cache_tiles=32)
 
     # ==================================================================
     # Output composition
@@ -872,12 +873,14 @@ class WorldPipeline:
         pi2 = ceil_div(i2 + pad_hr, scale) * scale
         pj2 = ceil_div(j2 + pad_hr, scale) * scale
 
-        residual_init = self.residual[:, pi1:pi2, pj1:pj2]
-        latents_init = self.latents[:, pi1 // scale:pi2 // scale, pj1 // scale:pj2 // scale]
+        residual_init = self.residual.read_device(
+            [(0, 2), (pi1, pi2), (pj1, pj2)])
+        latents_init = self.latents.read_device(
+            [(0, 6), (pi1 // scale, pi2 // scale), (pj1 // scale, pj2 // scale)])
         # returns a device array so climate composition can consume it
         # without a host round trip; get() materializes once at the end
         return self._elev_core()(
-            jnp.asarray(residual_init), jnp.asarray(latents_init),
+            residual_init, latents_init,
             oi=i1 - pi1, oj=j1 - pj1, h=i2 - i1, w=j2 - j1)
 
     def _compute_climate(self, i1, j1, i2, j2, elev: np.ndarray, scale: int) -> np.ndarray:
@@ -892,7 +895,8 @@ class WorldPipeline:
         ci2, cj2 = ceil_div(i2, S), ceil_div(j2, S)
         win = 15
         pad = (win - 1) // 2 + 1
-        coarse_init = self.coarse[:, ci1 - pad:ci2 + pad, cj1 - pad:cj2 + pad]
+        coarse_init = self.coarse.read_device(
+            [(0, 7), (ci1 - pad, ci2 + pad), (cj1 - pad, cj2 + pad)])
 
         # host-side sampling grid (cheap); regression + grid-sample jitted
         ii, jj = np.meshgrid(np.arange(i1, i2), np.arange(j1, j2), indexing="ij")
@@ -922,7 +926,7 @@ class WorldPipeline:
 
             self._compiled["climate_core"] = core
         climate = self._compiled["climate_core"](
-            jnp.asarray(coarse_init), jnp.asarray(u, dtype=jnp.float32),
+            coarse_init, jnp.asarray(u, dtype=jnp.float32),
             jnp.asarray(v, dtype=jnp.float32), jnp.asarray(elev))
         return np.asarray(climate, dtype=np.float32)
 

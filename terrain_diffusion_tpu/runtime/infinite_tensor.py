@@ -30,12 +30,82 @@ Supported ``f`` conventions:
 """
 from __future__ import annotations
 
+import collections
+import functools
+
 import numpy as np
 
 from terrain_diffusion_tpu.runtime.window import TensorWindow
 from terrain_diffusion_tpu.runtime.tile_store import MemoryTileStore
 
 _AUTO_ID = 0
+
+
+class DeviceTileCache:
+    """LRU of window outputs kept as device arrays (HBM-resident).
+
+    Sits in front of the host tile store: consumers that can use device
+    arrays (`InfiniteTensor.read_device`) assemble without re-uploading,
+    cutting the dominant host<->device traffic of the serving loop.  The
+    host store stays canonical — eviction only costs a re-upload.
+
+    Entries are (batch_array, row) references into the stage program's
+    *whole* batched output, never eagerly-sliced per-window arrays: on a
+    remote-device transport every slice would be its own dispatch round
+    trip, so slicing is deferred into the jitted assembly program.  A batch
+    stays alive until all of its rows are evicted — bounded by
+    max_tiles x batch_size window bytes, which for this framework's tile
+    sizes is a few tens of MB.
+    """
+
+    def __init__(self, max_tiles: int):
+        self.max_tiles = max_tiles
+        self._data: "collections.OrderedDict[tuple, tuple]" = collections.OrderedDict()
+
+    def get(self, idx):
+        ent = self._data.get(tuple(idx))
+        if ent is not None:
+            self._data.move_to_end(tuple(idx))
+        return ent
+
+    def put_batch(self, idxs, batch):
+        """Record rows 0..len(idxs)-1 of a device batch (no device ops)."""
+        for j, idx in enumerate(idxs):
+            k = tuple(idx)
+            self._data[k] = (batch, j)
+            self._data.move_to_end(k)
+        while len(self._data) > self.max_tiles:
+            self._data.popitem(last=False)
+
+    def clear(self):
+        self._data.clear()
+
+
+@functools.lru_cache(maxsize=512)
+def _device_assemble_fn(spec: tuple, out_shape: tuple, n_batches: int):
+    """Jitted scatter-add assembly for a fixed tile geometry.
+
+    spec: per tile, ``(batch_pos, row, ((dst_start, src_start, size) per
+    dim))`` — all static, so each distinct (query alignment x cache
+    layout) compiles once and is reused; slicing rows out of the stage
+    batches happens *inside* the program (single dispatch).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(*batches):
+        out = jnp.zeros(out_shape, jnp.float32)
+        for (bp, row, dims) in spec:
+            src = batches[bp][row]
+            dst_sl, src_sl = [], []
+            for (d0, s0, size) in dims:
+                dst_sl.append(slice(d0, d0 + size))
+                src_sl.append(slice(s0, s0 + size))
+            out = out.at[tuple(dst_sl)].add(src[tuple(src_sl)].astype(jnp.float32))
+        return out
+
+    return run
 
 
 class InfiniteTensor:
@@ -51,6 +121,7 @@ class InfiniteTensor:
         tensor_id: str | None = None,
         vectorized: bool = False,
         batch_buckets: tuple | None = None,
+        device_cache_tiles: int = 0,
     ):
         global _AUTO_ID
         self.shape = tuple(shape)
@@ -78,6 +149,8 @@ class InfiniteTensor:
             _AUTO_ID += 1
         self.tensor_id = tensor_id
         self.ndim = len(self.shape)
+        self.device_cache = (DeviceTileCache(device_cache_tiles)
+                             if device_cache_tiles > 0 else None)
 
     # ------------------------------------------------------------------
     # Public API
@@ -109,8 +182,38 @@ class InfiniteTensor:
 
     def clear_cache(self):
         self.tile_store.clear(self.tensor_id)
+        if self.device_cache is not None:
+            self.device_cache.clear()
         for a in self.args:
             a.clear_cache()
+
+    def read_device(self, ranges):
+        """Like read(), but returns a device (jax) array, assembling from the
+        device tile cache when every overlapping window is resident — no
+        host hop.  Falls back to uploading the host-assembled region."""
+        import jax.numpy as jnp
+
+        self.ensure_region(ranges)
+        if self.device_cache is not None:
+            idxs = sorted(self.output_window.windows_overlapping(ranges))
+            entries = [self.device_cache.get(i) for i in idxs]
+            if all(e is not None for e in entries):
+                batches, batch_pos, spec = [], {}, []
+                for (batch, row), idx in zip(entries, idxs):
+                    bid = id(batch)
+                    if bid not in batch_pos:
+                        batch_pos[bid] = len(batches)
+                        batches.append(batch)
+                    box = self.output_window.box(idx)
+                    dims = []
+                    for (ws, we), (a, b) in zip(box, ranges):
+                        o0, o1 = max(ws, a), min(we, b)
+                        dims.append((o0 - a, o0 - ws, o1 - o0))
+                    spec.append((batch_pos[bid], row, tuple(dims)))
+                out_shape = tuple(b - a for a, b in ranges)
+                fn = _device_assemble_fn(tuple(spec), out_shape, len(batches))
+                return fn(*batches)
+        return jnp.asarray(self._assemble(ranges))
 
     # ------------------------------------------------------------------
     # Planning
@@ -191,7 +294,12 @@ class InfiniteTensor:
                 np.stack([lst[-1]] * pad, axis=0)
                 for lst in arg_lists
             ]
-            outs = np.asarray(self.f(ctxs, *stacks))
+            raw = self.f(ctxs, *stacks)
+            if self.device_cache is not None and not isinstance(raw, np.ndarray):
+                # f returned a device array: keep (batch, row) references
+                # resident — zero extra device dispatches here
+                self.device_cache.put_batch(chunk, raw)
+            outs = np.asarray(raw)
             outs = outs[: len(chunk)]
         elif self.batch_size > 1:
             outs = self.f(list(chunk), *arg_lists)
