@@ -516,6 +516,13 @@ class WorldPipeline:
     # ==================================================================
     # Coarse stage
     # ==================================================================
+    @property
+    def _defer_host(self) -> bool:
+        """Defer host downloads of stage outputs (device stays canonical
+        until a host read).  Only with the in-memory store — the HDF5 store
+        must see every tile eagerly to persist it."""
+        return self.caching_strategy == "direct"
+
     def _build_coarse_stage(self):
         TILE, STRIDE = 64, 48
         pool = self.kwargs["coarse_pooling"]
@@ -593,8 +600,10 @@ class WorldPipeline:
                 cond = (cond - cond_means[:, None, None]) / cond_stds[:, None, None]
                 conds.append(cond)
                 if threefry:
-                    cns.append(np.zeros((5, TILE, TILE), np.float32))
-                    sns.append(np.zeros((6, TILE, TILE), np.float32))
+                    # noise is generated in-program; ship 4-byte dummies
+                    # instead of uploading megabytes of zeros per call
+                    cns.append(np.zeros((1, 1, 1), np.float32))
+                    sns.append(np.zeros((1, 1, 1), np.float32))
                 else:
                     cns.append(self._noise_host(seed, i1, j1, TILE, TILE, 5, TILE))
                     sns.append(self._noise_host(seed + 1, i1, j1, TILE, TILE, 6, TILE))
@@ -613,7 +622,7 @@ class WorldPipeline:
             batch_size=coarse_buckets[-1], vectorized=True,
             batch_buckets=coarse_buckets,
             tile_store=self.tile_store, tensor_id="base_coarse_map",
-            device_cache_tiles=256)
+            device_cache_tiles=256, defer_host=self._defer_host)
 
     # ==================================================================
     # Latent stage
@@ -688,9 +697,10 @@ class WorldPipeline:
                     prevs, coarses = regions
                 else:
                     (coarses,) = regions
-                    prevs = np.zeros((B, 6, TILE, TILE), np.float32)
+                    # prev_region is traced out when with_prev=False
+                    prevs = np.zeros((B, 6, 1, 1), np.float32)
                 if threefry:
-                    noise = np.zeros((B, 5, TILE, TILE), np.float32)
+                    noise = np.zeros((B, 1, 1, 1), np.float32)
                 else:
                     noise = np.stack([
                         self._noise_host(seed + seed_offset, int(c[1]) * STRIDE,
@@ -700,8 +710,8 @@ class WorldPipeline:
                 return self._timed(stage, lambda: prog(
                     self._shard_batch(np.ascontiguousarray(ctxs[:, 1])),
                     self._shard_batch(np.ascontiguousarray(ctxs[:, 2])),
-                    self._shard_batch(np.asarray(coarses)),
-                    self._shard_batch(np.asarray(prevs)),
+                    self._shard_batch(coarses),
+                    self._shard_batch(prevs),
                     self._shard_batch(np.asarray(noise)),
                     self._replicated(params)))
             return f
@@ -728,9 +738,9 @@ class WorldPipeline:
                        for i, t in enumerate(steps)]
 
             def f_t1(ctxs, coarses):
-                out = np.asarray(init_f(ctxs, coarses))
+                out = init_f(ctxs, coarses)
                 for sf in step_fs:
-                    out = np.asarray(sf(ctxs, out, coarses))
+                    out = sf(ctxs, out, coarses)
                 return out
 
             return InfiniteTensor(
@@ -738,7 +748,8 @@ class WorldPipeline:
                 args=(self.coarse,), args_windows=(coarse_win,),
                 batch_size=buckets[-1], vectorized=True,
                 batch_buckets=buckets, tile_store=self.tile_store,
-                tensor_id="latent_map_T1", device_cache_tiles=256)
+                tensor_id="latent_map_T1", device_cache_tiles=256,
+                defer_host=self._defer_host)
 
         init_f = self._latent_program(t_init, 5819, with_prev=False)
         tensor = InfiniteTensor(
@@ -746,7 +757,8 @@ class WorldPipeline:
             args=(self.coarse,), args_windows=(coarse_win,),
             batch_size=buckets[-1], vectorized=True,
             batch_buckets=buckets, tile_store=self.tile_store,
-            tensor_id="init_latent_map")
+            tensor_id="init_latent_map", device_cache_tiles=256,
+            defer_host=self._defer_host)
 
         if not self.onestep_latent:
             for i, t in enumerate(T_INTER):
@@ -756,7 +768,8 @@ class WorldPipeline:
                     args=(tensor, self.coarse), args_windows=(out_win, coarse_win),
                     batch_size=buckets[-1], vectorized=True,
                     batch_buckets=buckets, tile_store=self.tile_store,
-                    tensor_id=f"step_latent_map_{i}", device_cache_tiles=256)
+                    tensor_id=f"step_latent_map_{i}", device_cache_tiles=256,
+                    defer_host=self._defer_host)
         return tensor
 
     # ==================================================================
@@ -807,7 +820,7 @@ class WorldPipeline:
             if self.log_mode == "verbose":
                 print(f"Residual f batch {B} at {[tuple(c) for c in ctxs]}")
             if threefry:
-                noise = np.zeros((B, len(t_list), 1, TILE, TILE), np.float32)
+                noise = np.zeros((B, len(t_list), 1, 1, 1), np.float32)
             else:
                 noise = np.stack([
                     np.stack([
@@ -818,7 +831,7 @@ class WorldPipeline:
             return self._timed("decoder", lambda: prog(
                 self._shard_batch(np.ascontiguousarray(ctxs[:, 1])),
                 self._shard_batch(np.ascontiguousarray(ctxs[:, 2])),
-                self._shard_batch(np.asarray(latents_regions)),
+                self._shard_batch(latents_regions),
                 self._shard_batch(np.asarray(noise)),
                 self._replicated(params)))
 
@@ -832,7 +845,7 @@ class WorldPipeline:
             batch_size=dec_buckets[-1], vectorized=True,
             batch_buckets=dec_buckets,
             tile_store=self.tile_store, tensor_id="init_residual_map",
-            device_cache_tiles=32)
+            device_cache_tiles=32, defer_host=self._defer_host)
 
     # ==================================================================
     # Output composition

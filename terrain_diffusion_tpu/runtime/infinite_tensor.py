@@ -41,68 +41,156 @@ from terrain_diffusion_tpu.runtime.tile_store import MemoryTileStore
 _AUTO_ID = 0
 
 
-class DeviceTileCache:
-    """LRU of window outputs kept as device arrays (HBM-resident).
+class DeviceTileAtlas:
+    """Fixed-capacity HBM pool of window outputs ("tile atlas").
 
     Sits in front of the host tile store: consumers that can use device
-    arrays (`InfiniteTensor.read_device`) assemble without re-uploading,
-    cutting the dominant host<->device traffic of the serving loop.  The
-    host store stays canonical — eviction only costs a re-upload.
+    arrays (`InfiniteTensor.read_device`, chained-stage input assembly)
+    read straight from HBM, cutting the dominant host<->device traffic of
+    the serving loop.
 
-    Entries are (batch_array, row) references into the stage program's
-    *whole* batched output, never eagerly-sliced per-window arrays: on a
-    remote-device transport every slice would be its own dispatch round
-    trip, so slicing is deferred into the jitted assembly program.  A batch
-    stays alive until all of its rows are evicted — bounded by
-    max_tiles x batch_size window bytes, which for this framework's tile
-    sizes is a few tens of MB.
+    Design constraint: assembly programs must NOT bake cache history into
+    their compiled form, or every query pattern triggers a fresh XLA
+    compile.  So tiles live at *slots* of one preallocated (capacity, C,
+    h, w) device array, and programs take the slot indices as **traced**
+    int32 inputs — only the window/query geometry (a small, repeating set)
+    is static.  Stage batches are scattered into the pool with a single
+    jitted write per chunk; eviction is LRU slot reuse (the host store —
+    or recomputation — stays canonical).
     """
 
-    def __init__(self, max_tiles: int):
-        self.max_tiles = max_tiles
-        self._data: "collections.OrderedDict[tuple, tuple]" = collections.OrderedDict()
+    def __init__(self, capacity: int):
+        self.capacity = int(capacity)
+        self._atlas = None  # lazy: (capacity, *window_shape) f32 on device
+        self._slots: "collections.OrderedDict[tuple, int]" = collections.OrderedDict()
+        self._free: list | None = None
 
-    def get(self, idx):
-        ent = self._data.get(tuple(idx))
-        if ent is not None:
-            self._data.move_to_end(tuple(idx))
-        return ent
+    def _ensure(self, row_shape):
+        import jax.numpy as jnp
+
+        if self._atlas is None:
+            self._atlas = jnp.zeros((self.capacity, *row_shape), jnp.float32)
+            self._free = list(range(self.capacity - 1, -1, -1))
+
+    def slot(self, idx):
+        st = self._slots.get(tuple(idx))
+        if st is not None:
+            self._slots.move_to_end(tuple(idx))
+        return st
 
     def put_batch(self, idxs, batch):
-        """Record rows 0..len(idxs)-1 of a device batch (no device ops)."""
-        for j, idx in enumerate(idxs):
+        """Scatter rows 0..len(idxs)-1 of a stage batch into the pool —
+        one device dispatch regardless of batch size."""
+        self._ensure(tuple(batch.shape[1:]))
+        slots = []
+        for idx in idxs:
             k = tuple(idx)
-            self._data[k] = (batch, j)
-            self._data.move_to_end(k)
-        while len(self._data) > self.max_tiles:
-            self._data.popitem(last=False)
+            st = self._slots.pop(k, None)
+            if st is None:
+                st = self._free.pop() if self._free else self._slots.popitem(last=False)[1]
+            self._slots[k] = st
+            slots.append(st)
+        fn = _atlas_write_fn(self._atlas.shape, tuple(batch.shape), len(idxs))
+        self._atlas = fn(self._atlas, np.asarray(slots, np.int32), batch)
+
+    def fetch_rows(self, slots) -> np.ndarray:
+        """Device-gather the given slots and download them in ONE transfer
+        (host materialization path)."""
+        k = 1
+        while k < len(slots):
+            k *= 2
+        padded = np.zeros((k,), np.int32)
+        padded[: len(slots)] = slots
+        out = _atlas_gather_fn(self._atlas.shape, k)(self._atlas, padded)
+        return np.asarray(out)[: len(slots)]
 
     def clear(self):
-        self._data.clear()
+        self._slots.clear()
+        if self._atlas is not None:
+            self._free = list(range(self.capacity - 1, -1, -1))
+
+    def __len__(self):
+        return len(self._slots)
+
+
+@functools.lru_cache(maxsize=256)
+def _atlas_write_fn(atlas_shape: tuple, batch_shape: tuple, n_valid: int):
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run(atlas, slots, batch):
+        return atlas.at[slots].set(batch[:n_valid].astype(jnp.float32))
+
+    return run
+
+
+@functools.lru_cache(maxsize=64)
+def _atlas_gather_fn(atlas_shape: tuple, k: int):
+    import jax
+
+    @jax.jit
+    def run(atlas, slots):
+        return atlas[slots]
+
+    return run
 
 
 @functools.lru_cache(maxsize=512)
-def _device_assemble_fn(spec: tuple, out_shape: tuple, n_batches: int):
-    """Jitted scatter-add assembly for a fixed tile geometry.
+def _device_stack_fn(specs: tuple, region_shape: tuple):
+    """Jitted gather: assemble B parent regions (one per child window) from
+    atlas rows and stack them — the device-side replacement for per-window
+    host `_assemble` + re-upload when chaining stages.
 
-    spec: per tile, ``(batch_pos, row, ((dst_start, src_start, size) per
-    dim))`` — all static, so each distinct (query alignment x cache
-    layout) compiles once and is reused; slicing rows out of the stage
-    batches happens *inside* the program (single dispatch).
+    specs: per region, per tile, ``((dst, src, size) per dim)`` — geometry
+    only; which atlas rows to use arrives as a traced flat slot vector.
     """
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def run(*batches):
+    def run(atlas, slots):
+        tiles = atlas[slots]
+        t = 0
+        regions = []
+        for tile_spec in specs:
+            out = jnp.zeros(region_shape, jnp.float32)
+            for dims in tile_spec:
+                src = tiles[t]
+                t += 1
+                dst_sl, src_sl = [], []
+                for (d0, s0, size) in dims:
+                    dst_sl.append(slice(d0, d0 + size))
+                    src_sl.append(slice(s0, s0 + size))
+                out = out.at[tuple(dst_sl)].add(src[tuple(src_sl)])
+            regions.append(out)
+        return jnp.stack(regions)
+
+    return run
+
+
+@functools.lru_cache(maxsize=512)
+def _device_assemble_fn(spec: tuple, out_shape: tuple):
+    """Jitted scatter-add assembly for a fixed query geometry.
+
+    spec: per tile, ``((dst_start, src_start, size) per dim)`` — static
+    geometry only (compiles once per query alignment); the atlas rows are
+    selected by a traced slot vector.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(atlas, slots):
+        tiles = atlas[slots]
         out = jnp.zeros(out_shape, jnp.float32)
-        for (bp, row, dims) in spec:
-            src = batches[bp][row]
+        for t, dims in enumerate(spec):
+            src = tiles[t]
             dst_sl, src_sl = [], []
             for (d0, s0, size) in dims:
                 dst_sl.append(slice(d0, d0 + size))
                 src_sl.append(slice(s0, s0 + size))
-            out = out.at[tuple(dst_sl)].add(src[tuple(src_sl)].astype(jnp.float32))
+            out = out.at[tuple(dst_sl)].add(src[tuple(src_sl)])
         return out
 
     return run
@@ -122,6 +210,7 @@ class InfiniteTensor:
         vectorized: bool = False,
         batch_buckets: tuple | None = None,
         device_cache_tiles: int = 0,
+        defer_host: bool = False,
     ):
         global _AUTO_ID
         self.shape = tuple(shape)
@@ -149,8 +238,14 @@ class InfiniteTensor:
             _AUTO_ID += 1
         self.tensor_id = tensor_id
         self.ndim = len(self.shape)
-        self.device_cache = (DeviceTileCache(device_cache_tiles)
+        self.device_cache = (DeviceTileAtlas(device_cache_tiles)
                              if device_cache_tiles > 0 else None)
+        # defer_host: don't download window batches into the host store at
+        # evaluation time — host copies materialize lazily (`_host_tile`)
+        # only when a host read actually needs them.  Only sound with a
+        # non-persistent store (an evicted never-downloaded tile is simply
+        # recomputed); callers gate this on the in-memory caching strategy.
+        self.defer_host = bool(defer_host) and self.device_cache is not None
 
     # ------------------------------------------------------------------
     # Public API
@@ -196,23 +291,19 @@ class InfiniteTensor:
         self.ensure_region(ranges)
         if self.device_cache is not None:
             idxs = sorted(self.output_window.windows_overlapping(ranges))
-            entries = [self.device_cache.get(i) for i in idxs]
-            if all(e is not None for e in entries):
-                batches, batch_pos, spec = [], {}, []
-                for (batch, row), idx in zip(entries, idxs):
-                    bid = id(batch)
-                    if bid not in batch_pos:
-                        batch_pos[bid] = len(batches)
-                        batches.append(batch)
+            slots = [self.device_cache.slot(i) for i in idxs]
+            if all(st is not None for st in slots):
+                spec = []
+                for idx in idxs:
                     box = self.output_window.box(idx)
                     dims = []
                     for (ws, we), (a, b) in zip(box, ranges):
                         o0, o1 = max(ws, a), min(we, b)
                         dims.append((o0 - a, o0 - ws, o1 - o0))
-                    spec.append((batch_pos[bid], row, tuple(dims)))
+                    spec.append(tuple(dims))
                 out_shape = tuple(b - a for a, b in ranges)
-                fn = _device_assemble_fn(tuple(spec), out_shape, len(batches))
-                return fn(*batches)
+                fn = _device_assemble_fn(tuple(spec), out_shape)
+                return fn(self.device_cache._atlas, np.asarray(slots, np.int32))
         return jnp.asarray(self._assemble(ranges))
 
     # ------------------------------------------------------------------
@@ -228,12 +319,19 @@ class InfiniteTensor:
             if n:
                 t._evaluate_windows(sorted(n))
 
+    def _contains(self, idx) -> bool:
+        """A window is available if the host store has it OR a device-cache
+        reference exists (deferred-download mode)."""
+        if self.tile_store.contains(self.tensor_id, idx):
+            return True
+        return self.device_cache is not None and self.device_cache.slot(idx) is not None
+
     def _collect_needed(self, idx_set, need, tensors):
         tensors[id(self)] = self
         mine = need.setdefault(id(self), set())
         new = {
             i for i in idx_set
-            if i not in mine and not self.tile_store.contains(self.tensor_id, i)
+            if i not in mine and not self._contains(i)
         }
         if not new:
             return
@@ -281,42 +379,97 @@ class InfiniteTensor:
         return self.batch_buckets[-1]
 
     def _evaluate_chunk(self, chunk):
-        arg_lists = [
-            [self._arg_region(a, idx) for idx in chunk]
-            for a in range(len(self.args))
-        ]
         if self.vectorized:
             bucket = self._pick_bucket(len(chunk))
             pad = bucket - len(chunk)
             ctxs = np.asarray(list(chunk) + [chunk[-1]] * pad, dtype=np.int64)
-            stacks = [
-                np.stack(lst + [lst[-1]] * pad, axis=0) if lst or pad == 0 else
-                np.stack([lst[-1]] * pad, axis=0)
-                for lst in arg_lists
-            ]
+            stacks = []
+            for a in range(len(self.args)):
+                win = self.args_windows[a]
+                boxes = [win.box(idx) for idx in chunk] + [win.box(chunk[-1])] * pad
+                dev = self.args[a]._assemble_stack_device(boxes)
+                if dev is not None:
+                    # parent regions assembled in HBM — the child program
+                    # consumes them without a host round trip
+                    stacks.append(dev)
+                else:
+                    stacks.append(np.stack(
+                        [self.args[a]._assemble(b) for b in boxes], axis=0))
             raw = self.f(ctxs, *stacks)
             if self.device_cache is not None and not isinstance(raw, np.ndarray):
                 # f returned a device array: keep (batch, row) references
                 # resident — zero extra device dispatches here
                 self.device_cache.put_batch(chunk, raw)
+                if self.defer_host:
+                    return
             outs = np.asarray(raw)
             outs = outs[: len(chunk)]
-        elif self.batch_size > 1:
-            outs = self.f(list(chunk), *arg_lists)
         else:
-            outs = [
-                self.f(chunk[j], *[arg_lists[a][j] for a in range(len(self.args))])
-                for j in range(len(chunk))
+            arg_lists = [
+                [self._arg_region(a, idx) for idx in chunk]
+                for a in range(len(self.args))
             ]
-        results = []
+            if self.batch_size > 1:
+                outs = self.f(list(chunk), *arg_lists)
+            else:
+                outs = [
+                    self.f(chunk[j], *[arg_lists[a][j] for a in range(len(self.args))])
+                    for j in range(len(chunk))
+                ]
         for idx, out in zip(chunk, outs):
             out = np.asarray(out, dtype=np.float32)
             assert out.shape == tuple(self.output_window.size), (
                 f"window fn for {self.tensor_id} returned {out.shape}, "
                 f"expected {self.output_window.size}")
             self.tile_store.put(self.tensor_id, idx, out)
-            results.append(out)
-        return results
+
+    def _host_tile(self, idx, _retry: bool = True) -> np.ndarray:
+        """Host copy of one window: host store, else download from the
+        device cache (amortized — sibling rows of the same stage batch are
+        stored too), else recompute."""
+        arr = self.tile_store.get(self.tensor_id, idx)
+        if arr is not None:
+            return arr
+        if self.device_cache is not None:
+            st = self.device_cache.slot(idx)
+            if st is not None:
+                arr = np.ascontiguousarray(self.device_cache.fetch_rows([st])[0])
+                self.tile_store.put(self.tensor_id, idx, arr)
+                return arr
+        if not _retry:
+            raise RuntimeError(
+                f"window {idx} of {self.tensor_id} unavailable after recompute")
+        # Evicted (or never planned) — recompute on demand.  The recursive
+        # parent reads inside _evaluate_chunk handle their own misses the
+        # same way, so correctness holds under any cache budget (a
+        # too-small LRU only costs recomputation).
+        self._evaluate_chunk([idx])
+        return self._host_tile(idx, _retry=False)
+
+    def _assemble_stack_device(self, boxes):
+        """Assemble len(boxes) regions from device-resident windows and
+        stack them on device (single dispatch).  Returns None unless every
+        overlapping window of every box is resident."""
+        if self.device_cache is None:
+            return None
+        specs, flat_slots = [], []
+        region_shape = tuple(b - a for a, b in boxes[0])
+        for box in boxes:
+            tile_spec = []
+            for idx in sorted(self.output_window.windows_overlapping(box)):
+                st = self.device_cache.slot(idx)
+                if st is None:
+                    return None
+                flat_slots.append(st)
+                wbox = self.output_window.box(idx)
+                dims = []
+                for (ws, we), (a, b) in zip(wbox, box):
+                    o0, o1 = max(ws, a), min(we, b)
+                    dims.append((o0 - a, o0 - ws, o1 - o0))
+                tile_spec.append(tuple(dims))
+            specs.append(tuple(tile_spec))
+        fn = _device_stack_fn(tuple(specs), region_shape)
+        return fn(self.device_cache._atlas, np.asarray(flat_slots, np.int32))
 
     # ------------------------------------------------------------------
     # Assembly
@@ -324,14 +477,19 @@ class InfiniteTensor:
     def _assemble(self, ranges) -> np.ndarray:
         shape = tuple(b - a for a, b in ranges)
         out = np.zeros(shape, dtype=np.float32)
-        for idx in sorted(self.output_window.windows_overlapping(ranges)):
-            arr = self.tile_store.get(self.tensor_id, idx)
-            if arr is None:
-                # Evicted (or never planned) — recompute on demand.  The
-                # recursive parent reads inside _evaluate_chunk handle their
-                # own misses the same way, so correctness holds under any
-                # cache budget (a too-small LRU only costs recomputation).
-                arr = self._evaluate_chunk([idx])[0]
+        idxs = sorted(self.output_window.windows_overlapping(ranges))
+        if self.device_cache is not None:
+            # one gather + one download for every device-resident miss
+            pairs = [(i, self.device_cache.slot(i)) for i in idxs
+                     if not self.tile_store.contains(self.tensor_id, i)]
+            pairs = [(i, st) for i, st in pairs if st is not None]
+            if pairs:
+                rows = self.device_cache.fetch_rows([st for _, st in pairs])
+                for (i, _), r in zip(pairs, rows):
+                    self.tile_store.put(self.tensor_id, i,
+                                        np.ascontiguousarray(r))
+        for idx in idxs:
+            arr = self._host_tile(idx)
             box = self.output_window.box(idx)
             src_sl, dst_sl = [], []
             for d, ((ws, we), (a, b)) in enumerate(zip(box, ranges)):

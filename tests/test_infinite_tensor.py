@@ -213,7 +213,7 @@ def test_device_tile_cache_read_device():
                        batch_size=4, vectorized=True, batch_buckets=(1, 2, 4),
                        device_cache_tiles=64)
     host = t[:, -10:30, -10:30]
-    assert len(t.device_cache._data) > 0
+    assert len(t.device_cache) > 0
     dev = np.asarray(t.read_device([(0, ch + 1), (-10, 30), (-10, 30)]))
     np.testing.assert_allclose(dev, host, rtol=1e-6, atol=1e-6)
 
@@ -227,4 +227,60 @@ def test_device_tile_cache_read_device():
     np.testing.assert_allclose(dev2, host2, rtol=1e-6, atol=1e-6)
 
     t.clear_cache()
-    assert len(t.device_cache._data) == 0
+    assert len(t.device_cache) == 0
+
+
+def test_deferred_host_chain_device_arg_stacks():
+    """defer_host: child stages consume parent regions assembled on device;
+    host reads materialize lazily and match the eager path bit-for-bit."""
+    import jax.numpy as jnp
+
+    tile, stride = 16, 8
+
+    def make_chain(defer):
+        def leaf_f(ctxs):
+            vals = np.stack([
+                gaussian_noise_patch(9, int(c[1]) * stride, int(c[2]) * stride,
+                                     tile, tile, channels=2, tile_h=tile, tile_w=tile)
+                for c in ctxs])
+            w = linear_weight_window(tile)
+            return jnp.asarray(np.concatenate(
+                [vals * w[None, None], np.broadcast_to(w, (len(ctxs), 1, tile, tile))],
+                axis=1))
+
+        leaf = InfiniteTensor((3, None, None), leaf_f,
+                              TensorWindow((3, tile, tile), (3, stride, stride)),
+                              batch_size=4, vectorized=True, batch_buckets=(1, 2, 4),
+                              device_cache_tiles=64, defer_host=defer)
+
+        host_stacks = {"n": 0}
+
+        def child_f(ctxs, regions):
+            if isinstance(regions, np.ndarray):
+                host_stacks["n"] += 1
+            r = jnp.asarray(regions)
+            vals = (r[:, :2] / r[:, 2:3]) * 0.5
+            w = jnp.asarray(linear_weight_window(tile))
+            return jnp.concatenate(
+                [vals * w[None, None],
+                 jnp.broadcast_to(w, (len(ctxs), 1, tile, tile))], axis=1)
+
+        child = InfiniteTensor((3, None, None), child_f,
+                               TensorWindow((3, tile, tile), (3, stride, stride)),
+                               args=(leaf,),
+                               args_windows=(TensorWindow((3, tile, tile), (3, stride, stride)),),
+                               batch_size=4, vectorized=True, batch_buckets=(1, 2, 4),
+                               device_cache_tiles=64, defer_host=defer)
+        return leaf, child, host_stacks
+
+    leaf_d, child_d, hs_d = make_chain(True)
+    out_d = child_d[:, -5:30, -5:30]
+    assert hs_d["n"] == 0, "deferred chain fed the child from the host"
+    # leaf host store stayed empty until... child read went device-side;
+    # a host read of the leaf must still work (lazy materialization)
+    leaf_host = leaf_d[:, 0:20, 0:20]
+
+    leaf_e, child_e, hs_e = make_chain(False)
+    out_e = child_e[:, -5:30, -5:30]
+    np.testing.assert_allclose(out_d, out_e, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(leaf_host, leaf_e[:, 0:20, 0:20], rtol=1e-6, atol=1e-6)
