@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -37,7 +38,10 @@ def normalize(x: jnp.ndarray, dim=None, eps: float = 1e-4) -> jnp.ndarray:
 
 
 def mp_silu(x):
-    return (x * (1.0 / (1.0 + jnp.exp(-x)))) / 0.596
+    # jax.nn.sigmoid, not 1/(1+exp(-x)): the naive form overflows exp at
+    # |x|>~88 and its autodiff gradient becomes inf/inf = NaN even though
+    # the forward saturates cleanly (hit by large unnormalized cond inputs)
+    return (x * jax.nn.sigmoid(x)) / 0.596
 
 
 def mp_hardsilu(x):
@@ -45,7 +49,7 @@ def mp_hardsilu(x):
 
 
 def mp_sigmoid(x):
-    return (1.0 / (1.0 + jnp.exp(-x))) / 0.208
+    return jax.nn.sigmoid(x) / 0.208
 
 
 def mp_leaky_relu(x, alpha: float):

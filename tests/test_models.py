@@ -223,3 +223,22 @@ def test_conv_resample_block():
         assert np.isfinite(np.asarray(out)).all()
         s = float(jnp.std(out))
         assert 0.05 < s < 20
+
+
+def test_mp_silu_gradient_stable_at_extremes():
+    """Naive 1/(1+exp(-x)) overflows at |x|>~88 and autodiff turns it into
+    NaN gradients while the forward still looks fine — regression guard for
+    the stable-sigmoid form (hit via large unnormalized cond inputs)."""
+    import jax
+    import jax.numpy as jnp
+    from terrain_diffusion_tpu.ops import mp
+
+    for v in (-150.0, -89.0, 0.0, 89.0, 150.0):
+        y, g = jax.value_and_grad(lambda x: mp.mp_silu(x))(jnp.float32(v))
+        assert np.isfinite(float(y)) and np.isfinite(float(g)), (v, y, g)
+        gs = jax.grad(lambda x: mp.mp_sigmoid(x))(jnp.float32(v))
+        assert np.isfinite(float(gs))
+    # forward parity with the naive form where it is well-defined
+    x = jnp.linspace(-20, 20, 101)
+    naive = (x * (1.0 / (1.0 + jnp.exp(-x)))) / 0.596
+    np.testing.assert_allclose(mp.mp_silu(x), naive, rtol=1e-6, atol=1e-7)
