@@ -33,6 +33,7 @@ from terrain_diffusion_tpu.training.registry import (
 
 def run_training(config: dict, ckpt_path: str | None = None,
                  max_steps: int | None = None, log_every: int = 32):
+    log_every = max(1, int(log_every))  # 0 would crash `step % log_every`
     build_registry()
     resolved = resolve(config)
 
@@ -133,11 +134,15 @@ def run_training(config: dict, ckpt_path: str | None = None,
               help="checkpoint directory to resume from")
 @click.option("--max-steps", type=int, default=None,
               help="cap total steps (debugging)")
-def main(config_path, overrides, ckpt_path, max_steps):
+@click.option("--log-every", type=int, default=32,
+              help="metrics cadence in steps (use 1 to see per-step values "
+                   "— a NaN anywhere poisons the default averaged window)")
+def main(config_path, overrides, ckpt_path, max_steps, log_every):
     """Train a model from a .cfg config."""
     config = load_config(config_path)
     apply_overrides(config, overrides)
-    run_training(config, ckpt_path=ckpt_path, max_steps=max_steps)
+    run_training(config, ckpt_path=ckpt_path, max_steps=max_steps,
+                 log_every=log_every)
 
 
 if __name__ == "__main__":
