@@ -214,7 +214,10 @@ def unet_block_init(
         [3, 3] if conv_type == "default" else [1, 1])
     if in_channels != out_channels:
         p["conv_skip"] = mp_conv_init(keys[3], in_channels, out_channels, [1, 1])
-    if attention:
+    # Attention silently disables when out_channels < channels_per_head —
+    # num_heads floors to 0 (reference `unet_block.py:67`) and the reference
+    # instantiates no attn weights, so neither do we (checkpoint parity).
+    if attention and out_channels // channels_per_head > 0:
         p["attn_qkv"] = mp_conv_init(keys[4], out_channels, out_channels * 3, [1, 1])
         p["attn_proj"] = mp_conv_init(keys[6], out_channels, out_channels, [1, 1])
     return p
@@ -236,9 +239,11 @@ def _attention(p, x, num_heads: int, compute_dtype, attention_impl: str = "xla")
             out = pa.fused_pixelnorm_attention(y, num_heads).astype(x.dtype)
             return mp_conv_apply(p["attn_proj"], out, compute_dtype=compute_dtype)
     ch = c // num_heads
-    # -> (N, heads, ch, 3, HW)
-    y = y.reshape(n, h * w, num_heads, 3, ch)
-    y = jnp.transpose(y, (0, 2, 4, 3, 1))  # (N, heads, ch, 3, HW)
+    # qkv conv channels are laid out (head, channel, qkv) with qkv fastest —
+    # torch `y.reshape(n, heads, -1, 3, hw)` on NCHW (reference
+    # `unet_block.py:103`); mirror exactly for checkpoint parity.
+    y = y.reshape(n, h * w, num_heads, ch, 3)
+    y = jnp.transpose(y, (0, 2, 3, 4, 1))  # (N, heads, ch, 3, HW)
     y = mp.normalize(y, dim=2)
     q, k, v = y[:, :, :, 0], y[:, :, :, 1], y[:, :, :, 2]  # (N,heads,ch,HW)
     q32, k32, v32 = (t.astype(jnp.float32) for t in (q, k, v))

@@ -77,7 +77,8 @@ def _unet_name_map(model: EDMUnet2D):
         entries.append((f"{prefix}.conv_res1.weight", tree_prefix + ("conv_res1", "w"), False))
         if cin != cout:
             entries.append((f"{prefix}.conv_skip.weight", tree_prefix + ("conv_skip", "w"), False))
-        if opts.get("attention") or ({**cfg.block_kwargs, **opts}).get("attention"):
+        cph = merged.get("channels_per_head", 64)
+        if merged.get("attention") and cout // cph > 0:
             entries.append((f"{prefix}.attn_qkv.weight", tree_prefix + ("attn_qkv", "w"), False))
             entries.append((f"{prefix}.attn_proj.weight", tree_prefix + ("attn_proj", "w"), False))
         return entries
@@ -110,7 +111,8 @@ def _autoencoder_name_map(model: EDMAutoencoder):
         out.append((f"{prefix}.conv_res1.weight", tp + ("conv_res1", "w"), False))
         if cin != cout:
             out.append((f"{prefix}.conv_skip.weight", tp + ("conv_skip", "w"), False))
-        if opts.get("attention"):
+        merged = {**cfg.block_kwargs, **opts}
+        if merged.get("attention") and cout // merged.get("channels_per_head", 64) > 0:
             out.append((f"{prefix}.attn_qkv.weight", tp + ("attn_qkv", "w"), False))
             out.append((f"{prefix}.attn_proj.weight", tp + ("attn_proj", "w"), False))
     out.append(("out_conv.weight", ("out_conv", "w"), False))

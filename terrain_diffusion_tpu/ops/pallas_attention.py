@@ -75,9 +75,11 @@ def fused_pixelnorm_attention(qkv: jnp.ndarray, num_heads: int,
     c = c3 // 3
     ch = c // num_heads
     hw = h * w
-    # -> (N, heads, 3*ch, HW): split channels by head, stack q/k/v per head
-    y = qkv.reshape(n, hw, num_heads, 3, ch)
-    y = jnp.transpose(y, (0, 2, 3, 4, 1)).reshape(n * num_heads, 3 * ch, hw)
+    # -> (N, heads, 3*ch, HW): split channels by head, stack q/k/v per head.
+    # Conv channel layout is (head, channel, qkv) with qkv fastest (torch
+    # reference `unet_block.py:103`).
+    y = qkv.reshape(n, hw, num_heads, ch, 3)
+    y = jnp.transpose(y, (0, 2, 4, 3, 1)).reshape(n * num_heads, 3 * ch, hw)
 
     out = pl.pallas_call(
         functools.partial(_attn_kernel, ch=ch, hw=hw, eps=eps),
@@ -101,8 +103,8 @@ def reference_pixelnorm_attention(qkv: jnp.ndarray, num_heads: int,
     n, h, w, c3 = qkv.shape
     c = c3 // 3
     ch = c // num_heads
-    y = qkv.reshape(n, h * w, num_heads, 3, ch)
-    y = jnp.transpose(y, (0, 2, 4, 3, 1))  # (N, heads, ch, 3, HW)
+    y = qkv.reshape(n, h * w, num_heads, ch, 3)
+    y = jnp.transpose(y, (0, 2, 3, 4, 1))  # (N, heads, ch, 3, HW)
     y = mp.normalize(y, dim=2)
     q, k, v = y[:, :, :, 0], y[:, :, :, 1], y[:, :, :, 2]
     logits = jnp.einsum("nhcq,nhck->nhqk", q.astype(jnp.float32),

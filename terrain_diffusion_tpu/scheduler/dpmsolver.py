@@ -50,17 +50,23 @@ def compute_sigmas(cfg: EDMSchedulerConfig, num_steps: int) -> np.ndarray:
     Matches reference `set_timesteps` + `_compute_karras_sigmas` incl. the
     scaling_p/scaling_t warp (`dpmsolver.py:329-342`).
     """
-    ramp = np.linspace(0, 1, num_steps)
+    # float32 throughout, matching the reference's torch arithmetic: the
+    # scaling_p warp is ill-conditioned at sigma_max (sqrt(1 - u**p) with
+    # u == 1 - O(eps) amplifies the rounding of (sigma_max^(1/rho))^rho), so
+    # the first sigma's value genuinely depends on f32 rounding.
+    ramp = np.linspace(0, 1, num_steps, dtype=np.float32)
     if cfg.sigma_schedule == "karras":
         min_inv_rho = cfg.sigma_min ** (1 / cfg.rho)
         max_inv_rho = cfg.sigma_max ** (1 / cfg.rho)
-        sigmas = (max_inv_rho + ramp * (min_inv_rho - max_inv_rho)) ** cfg.rho
+        sigmas = (np.float32(max_inv_rho)
+                  + ramp * np.float32(min_inv_rho - max_inv_rho)) ** np.float32(cfg.rho)
         if cfg.scaling_p is not None:
-            u = (sigmas - cfg.sigma_min) / (cfg.sigma_max - cfg.sigma_min)
-            base_scale = np.sqrt(np.maximum(0.0, 1 - u**cfg.scaling_p))
-            sigmas = sigmas / (base_scale * (1 - cfg.scaling_t) + cfg.scaling_t)
+            u = (sigmas - np.float32(cfg.sigma_min)) / np.float32(cfg.sigma_max - cfg.sigma_min)
+            base_scale = np.sqrt(np.maximum(np.float32(0.0), 1 - u ** np.float32(cfg.scaling_p)))
+            sigmas = sigmas / (base_scale * np.float32(1 - cfg.scaling_t) + np.float32(cfg.scaling_t))
     elif cfg.sigma_schedule == "exponential":
-        sigmas = np.exp(np.linspace(np.log(cfg.sigma_min), np.log(cfg.sigma_max), num_steps))[::-1]
+        sigmas = np.exp(np.linspace(np.log(cfg.sigma_min), np.log(cfg.sigma_max),
+                                    num_steps, dtype=np.float32))[::-1]
     else:
         raise ValueError(f"unknown sigma_schedule {cfg.sigma_schedule}")
     last = cfg.sigma_min if cfg.final_sigmas_type == "sigma_min" else 0.0

@@ -25,8 +25,10 @@ def test_fused_matches_reference(shape, heads, rng):
     c = c3 // 3
     ch = c // heads
     hw = h * w
-    y = qkv.reshape(n, hw, heads, 3, ch)
-    y = jnp.transpose(y, (0, 2, 3, 4, 1)).reshape(n * heads, 3 * ch, hw)
+    # conv channel layout is (head, channel, qkv), qkv fastest (see
+    # layers._attention / reference unet_block.py:103)
+    y = qkv.reshape(n, hw, heads, ch, 3)
+    y = jnp.transpose(y, (0, 2, 4, 3, 1)).reshape(n * heads, 3 * ch, hw)
     out = pl.pallas_call(
         functools.partial(pa._attn_kernel, ch=ch, hw=hw, eps=1e-4),
         out_shape=jax.ShapeDtypeStruct((n * heads, ch, hw), qkv.dtype),
