@@ -37,7 +37,29 @@ def run_latency(world, n_runs: int = 10, tile: int = 512, separation: int = 200 
                 "p95": float(np.percentile(xs, 95))}
 
     return {"ttft": stats(ttft), "ttst": stats(ttst),
-            "tile": tile, "n_runs": n_runs}
+            "tile": tile, "n_runs": n_runs,
+            "memory": device_memory_stats()}
+
+
+def device_memory_stats() -> dict:
+    """Peak/current HBM use of device 0 (reference reports peak VRAM via
+    `torch.cuda.max_memory_allocated`, `evaluation/latency.py:104-106`).
+    Not every PJRT backend implements memory_stats; absent keys are omitted."""
+    import jax
+
+    dev = jax.local_devices()[0]
+    try:
+        raw = dev.memory_stats() or {}
+    except Exception:
+        return {"available": False, "platform": dev.platform}
+    out = {"available": True, "platform": dev.platform}
+    for key, name in [("bytes_in_use", "bytes_in_use"),
+                      ("peak_bytes_in_use", "peak_bytes_in_use"),
+                      ("bytes_limit", "bytes_limit"),
+                      ("largest_alloc_size", "largest_alloc_size")]:
+        if key in raw:
+            out[name] = int(raw[key])
+    return out
 
 
 @click.command()

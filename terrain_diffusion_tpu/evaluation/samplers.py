@@ -34,13 +34,17 @@ def process_cond_img(cond_img, histogram_raw, cond_means, cond_stds,
     """(B, 7, 4, 4) conditioning window -> (B, 58) vector (reference
     `_process_cond_img`; same math as the pipeline's in-program builder)."""
     cond_img = jnp.asarray(cond_img, jnp.float32)
-    m = jnp.asarray(cond_means, jnp.float32).reshape(1, -1, 1, 1)
+    cm = np.asarray(cond_means, np.float32)
+    m = jnp.asarray(cm).reshape(1, -1, 1, 1)
     s = jnp.asarray(cond_stds, jnp.float32).reshape(1, -1, 1, 1)
     cond = (cond_img - m) / s
-    cond = cond.at[:, 0:2].set(jnp.nan_to_num(cond[:, 0:2], nan=0.0))
+    # NaN fill matches the production pipeline semantics (see
+    # pipeline/world.py build_cond): every channel's NaNs become
+    # cond_means[0] in normalized space.
+    cond = jnp.nan_to_num(cond, nan=float(cm[0]))
     means_crop = cond[:, 0].reshape(cond.shape[0], -1)
     p5_crop = cond[:, 1].reshape(cond.shape[0], -1)
-    climate = jnp.nan_to_num(cond[:, 2:6, 1:3, 1:3].mean(axis=(2, 3)), nan=0.0)
+    climate = cond[:, 2:6, 1:3, 1:3].mean(axis=(2, 3))
     mask_crop = cond[:, 6].reshape(cond.shape[0], -1)
     nl = jnp.full((cond.shape[0], 1), (noise_level - 0.5) * np.sqrt(12), jnp.float32)
     hist = jnp.broadcast_to(jnp.asarray(histogram_raw, jnp.float32).reshape(1, -1),

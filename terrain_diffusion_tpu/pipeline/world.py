@@ -639,15 +639,25 @@ class WorldPipeline:
 
         def build_cond(coarse_region):
             """58-dim conditioning vector from a (7,4,4) coarse window
-            (reference `_process_latent_conditioning`, :1018-1050)."""
+            (reference `_process_latent_conditioning`, :1018-1050).
+
+            NaN handling replicates the reference's *actual* production
+            behavior: it is called with a batch of 1, so
+            ``cond_img[0:1].nan_to_num(cond_means[0])`` slices the whole
+            batch (not channel 0) — every NaN in every channel is filled
+            with cond_means[0] in *normalized* space, ``[1:2]`` is an empty
+            no-op, and the per-tile seeded climate fill at :1039-1045 can
+            never fire (no NaNs survive).  We mirror that exactly; the
+            seeded-fill branch is intentionally not reproduced because it is
+            unreachable in the reference pipeline.
+            """
             vals = coarse_region[:-1] / coarse_region[-1:]
             cond = jnp.concatenate([vals, jnp.ones((1, 4, 4))], axis=0)  # (7,4,4)
             cond = (cond - COND_INPUT_MEAN[:, None, None]) / COND_INPUT_STD[:, None, None]
-            cond = cond.at[0:2].set(jnp.nan_to_num(cond[0:2], nan=0.0))
+            cond = jnp.nan_to_num(cond, nan=float(COND_INPUT_MEAN[0]))
             means_crop = cond[0].reshape(-1)
             p5_crop = cond[1].reshape(-1)
             climate = cond[2:6, 1:3, 1:3].mean(axis=(1, 2))
-            climate = jnp.nan_to_num(climate, nan=0.0)
             mask_crop = cond[6].reshape(-1)
             noise_level_norm = jnp.asarray([(0.0 - 0.5) * np.sqrt(12)], jnp.float32)
             return mp.mp_concat(

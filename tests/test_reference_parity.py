@@ -136,6 +136,45 @@ class TestLaplacianParity:
 
 
 # ---------------------------------------------------------------------------
+# Latent conditioning vector (incl. the reference's NaN-fill quirk)
+# ---------------------------------------------------------------------------
+
+class TestLatentConditioningParity:
+    def test_process_latent_conditioning(self, rng):
+        """The pipeline builds conditioning per tile (batch of 1); the
+        reference's `cond_img[0:1].nan_to_num(cond_means[0])` therefore
+        fills EVERY channel's NaNs with cond_means[0] in normalized space.
+        Assert our builder reproduces that, NaNs included."""
+        import types
+
+        wp = import_reference("inference.world_pipeline")
+        from terrain_diffusion_tpu.evaluation.samplers import process_cond_img
+
+        cond_means = np.array([14.99, 11.65, 15.87, 619.26, 833.12, 69.40, 0.66],
+                              np.float32)
+        cond_stds = np.array([21.72, 21.78, 10.40, 452.29, 738.09, 34.59, 0.47],
+                             np.float32)
+        hist = np.array([0.1, -0.3, 0.2, 0.05, -0.1], np.float32)
+
+        cond = rng.standard_normal((7, 4, 4)).astype(np.float32) * 20
+        cond[0, 0, 1] = np.nan          # elevation NaN
+        cond[3, 1, 1] = np.nan          # climate NaN inside the 2x2 crop
+        cond[4, :, :] = np.nan          # whole climate channel NaN
+
+        dummy = types.SimpleNamespace(seed=0)
+        ref_vec = wp.WorldPipeline._process_latent_conditioning(
+            dummy, torch.from_numpy(cond)[None],
+            torch.from_numpy(hist)[None],
+            torch.from_numpy(cond_means), torch.from_numpy(cond_stds),
+            torch.tensor(0.0), seed_offset=12345).numpy()
+
+        my_vec = np.asarray(process_cond_img(
+            cond[None], hist, cond_means, cond_stds, noise_level=0.0))
+        assert not np.isnan(my_vec).any()
+        assert rel_rmse(my_vec, ref_vec) < 1e-3, rel_rmse(my_vec, ref_vec)
+
+
+# ---------------------------------------------------------------------------
 # DPM-Solver trajectories
 # ---------------------------------------------------------------------------
 
