@@ -66,7 +66,7 @@ def generate_samples(base_model, base_params, decoder_model, decoder_params,
 
 def evaluate(base_path: str, decoder_path: str, dataset_kwargs: dict, *,
              n_images: int = 256, batch: int = 8, mode: str = "blend",
-             seed: int = 0) -> dict:
+             seed: int = 0, features="terrain") -> dict:
     from terrain_diffusion_tpu.nn import torch_compat
     from terrain_diffusion_tpu.training.datasets import H5LatentsDataset
 
@@ -93,10 +93,14 @@ def evaluate(base_path: str, decoder_path: str, dataset_kwargs: dict, *,
                     np.resize(gt, terrain.shape))
     real = normalize_terrain_for_metric(np.concatenate(real)[..., :1])
     fake = normalize_terrain_for_metric(np.concatenate(fake)[..., :1])
-    kid_mean, kid_std = compute_kid(real, fake)
-    fid = compute_fid(real, fake)
+    from terrain_diffusion_tpu.evaluation.metrics import resolve_feature_fn
+
+    feature_fn = resolve_feature_fn(features)
+    kid_mean, kid_std = compute_kid(real, fake, feature_fn=feature_fn)
+    fid = compute_fid(real, fake, feature_fn=feature_fn)
     return {"mode": mode, "n_images": len(fake), "kid_mean": kid_mean,
-            "kid_std": kid_std, "fid": fid}
+            "kid_std": kid_std, "fid": fid,
+            "features": features if isinstance(features, str) else "custom"}
 
 
 @click.command()
@@ -108,14 +112,17 @@ def evaluate(base_path: str, decoder_path: str, dataset_kwargs: dict, *,
 @click.option("--mode", type=click.Choice(["blend", "constant", "naive",
                                            "skip-edge"]), default="blend")
 @click.option("--seed", type=int, default=0)
-def main(base_path, decoder_path, h5_file, n_images, batch, mode, seed):
+@click.option("--features", default="terrain",
+              help="'terrain' or 'inception[:/path/to/weights]'")
+def main(base_path, decoder_path, h5_file, n_images, batch, mode, seed, features):
     """FID/KID of InfiniteDiffusion tiled generation vs real DEM crops."""
     dataset_kwargs = dict(
         h5_file=h5_file, crop_size=64, pct_land_ranges=[[0.01, 1]],
         subset_resolutions=[90], subset_weights=[1.0],
         latents_mean=[0, 0, 0, 0], latents_std=[1, 1, 1, 1], split="val")
     out = evaluate(base_path, decoder_path, dataset_kwargs,
-                   n_images=n_images, batch=batch, mode=mode, seed=seed)
+                   n_images=n_images, batch=batch, mode=mode, seed=seed,
+                   features=features)
     print(json.dumps(out, indent=2))
 
 

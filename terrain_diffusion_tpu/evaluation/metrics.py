@@ -46,6 +46,38 @@ def terrain_features(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([jnp.stack(feats, axis=1), h16], axis=1)
 
 
+def resolve_feature_fn(spec) -> Callable:
+    """Resolve a feature-extractor spec to a callable.
+
+    - callable: returned as-is
+    - "terrain" (default): hand-rolled structural statistics (relative
+      comparisons only)
+    - "inception": InceptionV3 pool3 features (literature-comparable);
+      weights path from $TDTPU_INCEPTION_WEIGHTS
+    - "inception:/path/to/weights.pth": explicit weights path
+    """
+    import os
+
+    if callable(spec):
+        return spec
+    if spec in (None, "terrain"):
+        return terrain_features
+    if isinstance(spec, str) and spec.startswith("inception"):
+        from terrain_diffusion_tpu.evaluation.inception import inception_feature_fn
+
+        if ":" in spec:
+            path = spec.split(":", 1)[1]
+        else:
+            path = os.environ.get("TDTPU_INCEPTION_WEIGHTS", "")
+        if not path:
+            raise ValueError(
+                "inception features need a weights file: pass "
+                "'inception:/path/to/pt_inception.pth' or set "
+                "$TDTPU_INCEPTION_WEIGHTS (weights are not bundled offline)")
+        return inception_feature_fn(path)
+    raise ValueError(f"unknown feature extractor {spec!r}")
+
+
 def frechet_distance(feats_a: np.ndarray, feats_b: np.ndarray) -> float:
     """FID between two feature sets (Frechet distance of fitted Gaussians)."""
     import scipy.linalg

@@ -37,6 +37,7 @@ def _decode_to_terrain(residual, lowfreq, disable_denoise: bool):
 
 
 def run_stage_eval(stage: str, model_path: str, h5_file: str, *,
+                   features="terrain",
                    decoder_path: str | None = None, guide_path: str | None = None,
                    guidance_scale: float = 1.0, n_images: int = 256,
                    batch: int = 8, steps: int = 15, seed: int = 0,
@@ -108,9 +109,13 @@ def run_stage_eval(stage: str, model_path: str, h5_file: str, *,
         real, fake = real[..., None], fake[..., None]
     real = normalize_terrain_for_metric(real[..., :1])
     fake = normalize_terrain_for_metric(fake[..., :1])
-    kid_mean, kid_std = compute_kid(real, fake)
+    from terrain_diffusion_tpu.evaluation.metrics import resolve_feature_fn
+
+    feature_fn = resolve_feature_fn(features)
+    kid_mean, kid_std = compute_kid(real, fake, feature_fn=feature_fn)
     return {"stage": stage, "n_images": len(fake), "kid_mean": kid_mean,
-            "kid_std": kid_std, "fid": compute_fid(real, fake)}
+            "kid_std": kid_std, "fid": compute_fid(real, fake, feature_fn=feature_fn),
+            "features": features if isinstance(features, str) else "custom"}
 
 
 @click.command()
@@ -126,13 +131,16 @@ def run_stage_eval(stage: str, model_path: str, h5_file: str, *,
 @click.option("--steps", type=int, default=15)
 @click.option("--seed", type=int, default=0)
 @click.option("--disable-laplacian-denoising", is_flag=True, default=False)
+@click.option("--features", default="terrain",
+              help="'terrain' or 'inception[:/path/to/weights]'")
 def main(model_path, stage, h5_file, guide_path, guidance_scale, n_images,
-         batch, steps, seed, disable_laplacian_denoising):
+         batch, steps, seed, disable_laplacian_denoising, features):
     """Bounded-canvas FID/KID for one model stage."""
     out = run_stage_eval(stage, model_path, h5_file, guide_path=guide_path,
                          guidance_scale=guidance_scale, n_images=n_images,
                          batch=batch, steps=steps, seed=seed,
-                         disable_laplacian_denoising=disable_laplacian_denoising)
+                         disable_laplacian_denoising=disable_laplacian_denoising,
+                         features=features)
     print(json.dumps(out, indent=2))
 
 

@@ -38,7 +38,8 @@ def _latents_to_terrain(latents, decoder_model, decoder_params, key,
 def evaluate_kid(model, params, val_dataset, key, *, mode: str = "base",
                  n_images: int = 128, batch: int = 8, steps: int = 12,
                  sampler: str = "diffusion", inter_t: float | None = None,
-                 decoder=None, guide=None, guidance_scale: float = 1.0) -> dict:
+                 decoder=None, guide=None, guidance_scale: float = 1.0,
+                 features="terrain") -> dict:
     """KID of model samples vs validation images.
 
     mode='base': sample latents on val conditioning, optionally decode to
@@ -71,6 +72,9 @@ def evaluate_kid(model, params, val_dataset, key, *, mode: str = "base",
             real.append(gt)
     real = normalize_terrain_for_metric(np.concatenate(real)[..., :1])
     fake = normalize_terrain_for_metric(np.concatenate(fake)[..., :1])
+    from terrain_diffusion_tpu.evaluation.metrics import resolve_feature_fn
+
     kid_mean, kid_std = compute_kid(real, fake, n_subsets=50,
-                                    subset_size=min(len(real), 64))
+                                    subset_size=min(len(real), 64),
+                                    feature_fn=resolve_feature_fn(features))
     return {"kid_mean": kid_mean, "kid_std": kid_std, "n_images": len(fake)}
