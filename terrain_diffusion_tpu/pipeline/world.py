@@ -108,7 +108,7 @@ class WorldPipeline:
     def __init__(
         self,
         seed: int | None = None,
-        latents_batch_size=(1, 2, 4, 8, 16),
+        latents_batch_size=(1, 2, 4, 8, 16, 32, 64),
         native_resolution: float = 90.0,
         *,
         T: int = 2,
@@ -614,7 +614,7 @@ class WorldPipeline:
                 self._shard_batch(np.stack(cns)),
                 self._shard_batch(np.stack(sns)), self._replicated(params)))
 
-        coarse_buckets = self._mesh_buckets((1, 2, 4, 8, 16))
+        coarse_buckets = self._mesh_buckets((1, 2, 4, 8, 16, 32))
         return InfiniteTensor(
             shape=(7, None, None), f=f,
             output_window=TensorWindow((7, TILE // pool, TILE // pool),
@@ -848,7 +848,7 @@ class WorldPipeline:
         out_win = TensorWindow((2, TILE, TILE), (2, STRIDE, STRIDE))
         in_win = TensorWindow((6, TILE // lc, TILE // lc),
                               (6, STRIDE // lc, STRIDE // lc))
-        dec_buckets = self._mesh_buckets((1, 2, 4))
+        dec_buckets = self._mesh_buckets((1, 2, 4, 8))
         return InfiniteTensor(
             shape=(2, None, None), f=f, output_window=out_win,
             args=(self.latents,), args_windows=(in_win,),
@@ -867,7 +867,10 @@ class WorldPipeline:
             RES_MEAN = self.kwargs["residual_mean"]
             RES_STD = self.kwargs["residual_std"]
 
-            @functools.partial(jax.jit, static_argnames=("oi", "oj", "h", "w"))
+            # oi/oj (query alignment within the padded region) are TRACED —
+            # only h/w are compile-time; otherwise every new alignment costs
+            # a remote XLA compile of the whole composition program
+            @functools.partial(jax.jit, static_argnames=("h", "w"))
             def core(residual_init, latents_init, oi, oj, h, w):
                 residual_p = (residual_init[0] / residual_init[1]) * RES_STD + RES_MEAN
                 latents_norm = latents_init[:-1] / latents_init[-1:]
@@ -904,7 +907,7 @@ class WorldPipeline:
         # without a host round trip; get() materializes once at the end
         return self._elev_core()(
             residual_init, latents_init,
-            oi=i1 - pi1, oj=j1 - pj1, h=i2 - i1, w=j2 - j1)
+            jnp.int32(i1 - pi1), jnp.int32(j1 - pj1), h=i2 - i1, w=j2 - j1)
 
     def _compute_climate(self, i1, j1, i2, j2, elev: np.ndarray, scale: int) -> np.ndarray:
         """(5, H, W) climate [temp, t_season, precip, p_cv, beta]

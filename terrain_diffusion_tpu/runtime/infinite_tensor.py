@@ -136,64 +136,90 @@ def _atlas_gather_fn(atlas_shape: tuple, k: int):
     return run
 
 
-@functools.lru_cache(maxsize=512)
-def _device_stack_fn(specs: tuple, region_shape: tuple):
-    """Jitted gather: assemble B parent regions (one per child window) from
-    atlas rows and stack them — the device-side replacement for per-window
-    host `_assemble` + re-upload when chaining stages.
+def _next_pow2(n: int) -> int:
+    k = 1
+    while k < n:
+        k *= 2
+    return k
 
-    specs: per region, per tile, ``((dst, src, size) per dim)`` — geometry
-    only; which atlas rows to use arrives as a traced flat slot vector.
+
+@functools.lru_cache(maxsize=128)
+def _traced_assemble_fn(B: int, K: int, tile_shape: tuple, region_shape: tuple):
+    """Assembly program with TRACED geometry.
+
+    Sums up to K atlas tiles into each of B regions.  Which tiles (slots),
+    where they land (per-tile spatial offsets, possibly negative), and
+    whether a padded entry contributes (validity) all arrive as *data* — so
+    ONE compiled program serves every query alignment.  The earlier design
+    baked per-window (dst, src, size) specs into the HLO, which forced a
+    remote XLA compile for every previously-unseen alignment and dominated
+    cold-query latency on remote-compile backends.
+
+    Mechanics: each region is assembled on a canvas padded by one tile size
+    per side; every tile is added with a fixed-size dynamic-slice
+    read-modify-write at its traced offset, then the canvas center is
+    cropped.  Cropping of tiles that only partially overlap the region falls
+    out of the canvas crop.  Summation order is the caller's slot order
+    (sorted window index), keeping accumulation bit-deterministic.
     """
     import jax
     import jax.numpy as jnp
 
+    C, th, tw = tile_shape
+    rc, rh, rw = region_shape
+    assert rc == C, (tile_shape, region_shape)
+
     @jax.jit
-    def run(atlas, slots):
-        tiles = atlas[slots]
-        t = 0
-        regions = []
-        for tile_spec in specs:
-            out = jnp.zeros(region_shape, jnp.float32)
-            for dims in tile_spec:
-                src = tiles[t]
-                t += 1
-                dst_sl, src_sl = [], []
-                for (d0, s0, size) in dims:
-                    dst_sl.append(slice(d0, d0 + size))
-                    src_sl.append(slice(s0, s0 + size))
-                out = out.at[tuple(dst_sl)].add(src[tuple(src_sl)])
-            regions.append(out)
-        return jnp.stack(regions)
+    def run(atlas, slots, offs, valid):
+        def one(slots_k, offs_k, valid_k):
+            canvas = jnp.zeros((C, rh + 2 * th, rw + 2 * tw), jnp.float32)
+
+            def body(i, cv):
+                tile = atlas[slots_k[i]] * valid_k[i]
+                oy = offs_k[i, 0] + th
+                ox = offs_k[i, 1] + tw
+                cur = jax.lax.dynamic_slice(cv, (0, oy, ox), (C, th, tw))
+                return jax.lax.dynamic_update_slice(cv, cur + tile, (0, oy, ox))
+
+            canvas = jax.lax.fori_loop(0, K, body, canvas)
+            return canvas[:, th : th + rh, tw : tw + rw]
+
+        return jax.vmap(one)(slots, offs, valid)
 
     return run
 
 
-@functools.lru_cache(maxsize=512)
-def _device_assemble_fn(spec: tuple, out_shape: tuple):
-    """Jitted scatter-add assembly for a fixed query geometry.
-
-    spec: per tile, ``((dst_start, src_start, size) per dim)`` — static
-    geometry only (compiles once per query alignment); the atlas rows are
-    selected by a traced slot vector.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def run(atlas, slots):
-        tiles = atlas[slots]
-        out = jnp.zeros(out_shape, jnp.float32)
-        for t, dims in enumerate(spec):
-            src = tiles[t]
-            dst_sl, src_sl = [], []
-            for (d0, s0, size) in dims:
-                dst_sl.append(slice(d0, d0 + size))
-                src_sl.append(slice(s0, s0 + size))
-            out = out.at[tuple(dst_sl)].add(src[tuple(src_sl)])
-        return out
-
-    return run
+def _traced_geometry(window: TensorWindow, boxes, slot_of):
+    """(slots, offs, valid, K) arrays for _traced_assemble_fn, or None if any
+    needed window lacks a device slot.  Boxes must share one shape and span
+    the full channel range of the window (true for all stage geometries)."""
+    per_box = []
+    k_max = 1
+    for box in boxes:
+        idxs = sorted(window.windows_overlapping(box))
+        entries = []
+        for idx in idxs:
+            st = slot_of(idx)
+            if st is None:
+                return None
+            wbox = window.box(idx)
+            if wbox[0] != box[0]:
+                return None  # partial channel coverage: host path
+            entries.append((st, wbox[1][0] - box[1][0], wbox[2][0] - box[2][0]))
+        per_box.append(entries)
+        k_max = max(k_max, len(entries))
+    K = _next_pow2(k_max)
+    B = len(boxes)
+    slots = np.zeros((B, K), np.int32)
+    offs = np.zeros((B, K, 2), np.int32)
+    valid = np.zeros((B, K), np.float32)
+    for b, entries in enumerate(per_box):
+        for k, (st, oy, ox) in enumerate(entries):
+            slots[b, k] = st
+            offs[b, k, 0] = oy
+            offs[b, k, 1] = ox
+            valid[b, k] = 1.0
+    return slots, offs, valid, K
 
 
 class InfiniteTensor:
@@ -290,20 +316,14 @@ class InfiniteTensor:
 
         self.ensure_region(ranges)
         if self.device_cache is not None:
-            idxs = sorted(self.output_window.windows_overlapping(ranges))
-            slots = [self.device_cache.slot(i) for i in idxs]
-            if all(st is not None for st in slots):
-                spec = []
-                for idx in idxs:
-                    box = self.output_window.box(idx)
-                    dims = []
-                    for (ws, we), (a, b) in zip(box, ranges):
-                        o0, o1 = max(ws, a), min(we, b)
-                        dims.append((o0 - a, o0 - ws, o1 - o0))
-                    spec.append(tuple(dims))
+            geo = _traced_geometry(self.output_window, [tuple(ranges)],
+                                   self.device_cache.slot)
+            if geo is not None:
+                slots, offs, valid, K = geo
                 out_shape = tuple(b - a for a, b in ranges)
-                fn = _device_assemble_fn(tuple(spec), out_shape)
-                return fn(self.device_cache._atlas, np.asarray(slots, np.int32))
+                fn = _traced_assemble_fn(1, K, tuple(self.output_window.size),
+                                         out_shape)
+                return fn(self.device_cache._atlas, slots, offs, valid)[0]
         return jnp.asarray(self._assemble(ranges))
 
     # ------------------------------------------------------------------
@@ -448,28 +468,20 @@ class InfiniteTensor:
 
     def _assemble_stack_device(self, boxes):
         """Assemble len(boxes) regions from device-resident windows and
-        stack them on device (single dispatch).  Returns None unless every
-        overlapping window of every box is resident."""
+        stack them on device (single dispatch, traced geometry — no
+        per-alignment recompiles).  Returns None unless every overlapping
+        window of every box is resident."""
         if self.device_cache is None:
             return None
-        specs, flat_slots = [], []
+        geo = _traced_geometry(self.output_window, boxes,
+                               self.device_cache.slot)
+        if geo is None:
+            return None
+        slots, offs, valid, K = geo
         region_shape = tuple(b - a for a, b in boxes[0])
-        for box in boxes:
-            tile_spec = []
-            for idx in sorted(self.output_window.windows_overlapping(box)):
-                st = self.device_cache.slot(idx)
-                if st is None:
-                    return None
-                flat_slots.append(st)
-                wbox = self.output_window.box(idx)
-                dims = []
-                for (ws, we), (a, b) in zip(wbox, box):
-                    o0, o1 = max(ws, a), min(we, b)
-                    dims.append((o0 - a, o0 - ws, o1 - o0))
-                tile_spec.append(tuple(dims))
-            specs.append(tuple(tile_spec))
-        fn = _device_stack_fn(tuple(specs), region_shape)
-        return fn(self.device_cache._atlas, np.asarray(flat_slots, np.int32))
+        fn = _traced_assemble_fn(len(boxes), K,
+                                 tuple(self.output_window.size), region_shape)
+        return fn(self.device_cache._atlas, slots, offs, valid)
 
     # ------------------------------------------------------------------
     # Assembly
