@@ -1,8 +1,11 @@
 """Autoencoder (VAE) trainer (reference `trainers/autoencoder.py:17-231`).
 
-Loss: MAE + KL (+ optional perceptual term via a pluggable feature network;
-the reference uses LPIPS-Alex, which is torch-only — here the perceptual hook
-defaults to a multi-scale gradient-similarity loss, documented divergence).
+Loss: MAE + KL + perceptual term.  The reference uses LPIPS-Alex
+(spatial=True); `nn/lpips.py` provides the same network in JAX — set
+``training.perceptual = "lpips"`` plus ``training.lpips_weights`` (and
+optionally ``training.lpips_lin_weights``) to use it.  Without weight files
+(they are not bundled offline) the default is a multi-scale
+gradient-similarity surrogate ("grad"), a documented divergence.
 """
 from __future__ import annotations
 
@@ -38,7 +41,25 @@ class AutoencoderTrainer(TrainerBase):
         self.kl_weight = float(tr.get("kl_weight", 1e-5))
         self.perceptual_weight = float(tr.get("perceptual_weight", 1.0))
         use_perceptual = bool(tr.get("use_perceptual", True))
-        perceptual_fn = multiscale_gradient_loss if use_perceptual else None
+        perceptual_kind = tr.get("perceptual", "grad")
+        if not use_perceptual:
+            perceptual_fn = None
+        elif perceptual_kind == "lpips":
+            from terrain_diffusion_tpu.nn import lpips as _lpips
+
+            weights = tr.get("lpips_weights")
+            if not weights:
+                raise ValueError(
+                    "training.perceptual='lpips' needs training.lpips_weights "
+                    "(AlexNet backbone .pth/.safetensors; optional separate "
+                    "training.lpips_lin_weights for the lpips linear heads)")
+            lp = _lpips.load_torch_checkpoint(weights,
+                                              tr.get("lpips_lin_weights"))
+            perceptual_fn = _lpips.make_perceptual_fn(lp)
+        elif perceptual_kind == "grad":
+            perceptual_fn = multiscale_gradient_loss
+        else:
+            raise ValueError(f"unknown training.perceptual {perceptual_kind!r}")
         opt_kwargs = config.get("optimizer", {}).get("kwargs", {})
         self.optimizer = make_optimizer(
             betas=tuple(opt_kwargs.get("betas", (0.9, 0.99))),
