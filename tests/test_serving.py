@@ -270,3 +270,25 @@ def test_explorer_detail_endpoints(pipe):
     assert (h, w) == (16, 16)
     expected = h * w * 2 + (h * w * 4 if headers["X-Has-Temp"] == "1" else 0)
     assert len(body) == expected
+
+
+def test_explorer_ui_references_all_api_routes():
+    """The static app must exercise every server endpoint (UI completeness
+    smoke test — no browser needed)."""
+    import os
+    import re
+
+    from terrain_diffusion_tpu.serving.explorer import server
+
+    static = os.path.join(os.path.dirname(server.__file__), "static",
+                          "index.html")
+    with open(static) as f:
+        html = f.read()
+    routes = [r for r in server.app.routes() if r.startswith("/api/")]
+    assert routes, "explorer server exposes no /api routes?"
+    for route in routes:
+        assert route in html, f"explorer UI never calls {route}"
+    # capability markers: filters, hover readout, pan/zoom, detail modes
+    for marker in ["coarse_stats", "_min=", "_max=", "pan_i", "detail_size",
+                   "mousemove", "Zoom", "mode=", "clipboard"]:
+        assert re.search(marker, html), f"UI capability missing: {marker}"
