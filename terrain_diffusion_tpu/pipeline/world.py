@@ -855,7 +855,7 @@ class WorldPipeline:
             batch_size=dec_buckets[-1], vectorized=True,
             batch_buckets=dec_buckets,
             tile_store=self.tile_store, tensor_id="init_residual_map",
-            device_cache_tiles=32, defer_host=self._defer_host)
+            device_cache_tiles=96, defer_host=self._defer_host)
 
     # ==================================================================
     # Output composition
@@ -958,10 +958,11 @@ class WorldPipeline:
 
     def get(self, i1, j1, i2, j2, with_climate: bool = True) -> dict:
         """Terrain for bounding box: elev (H, W) meters [+ climate (5, H, W)]."""
-        elev_dev = self._compute_elev(i1, j1, i2, j2,
-                                      scale=self.latent_compression)
-        climate = (self._compute_climate(i1, j1, i2, j2, elev_dev,
-                                         scale=self.latent_compression)
+        elev_dev = self._timed("compose_elev", lambda: self._compute_elev(
+            i1, j1, i2, j2, scale=self.latent_compression))
+        climate = (self._timed("compose_climate", lambda: self._compute_climate(
+            i1, j1, i2, j2, elev_dev, scale=self.latent_compression))
                    if with_climate else None)
-        return {"elev": np.asarray(elev_dev, dtype=np.float32),
+        return {"elev": self._timed("fetch_elev", lambda: np.asarray(
+            elev_dev, dtype=np.float32)),
                 "climate": climate}
