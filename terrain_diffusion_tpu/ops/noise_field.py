@@ -82,17 +82,33 @@ def split_seed(seed: int) -> tuple[int, int]:
     return seed & 0xFFFFFFFF, seed >> 32
 
 
+def seed_to_pair(seed: int) -> np.ndarray:
+    """(2,) uint32 [lo, hi] representation of a 64-bit seed.
+
+    Seed pairs are the *traced* form of a seed: jitted programs take them as
+    runtime inputs, so a seed change reuses the compiled program instead of
+    retracing (the key derivation is identical to the python-int path)."""
+    lo, hi = split_seed(seed)
+    return np.asarray([lo, hi], dtype=np.uint32)
+
+
 def _tile_key(seed, ty, tx):
     """Per-tile threefry key from (seed, ty, tx); ty/tx may be traced ints.
 
-    ``seed`` must be a concrete python int (seeds are static per program
-    build; a seed change rebuilds the pipeline anyway).  Uses fold_in chains
-    so the key is a pure function of the coordinates, independent of
-    evaluation order or batch composition.
+    ``seed`` is either a concrete python int or a (2,) uint32 [lo, hi] pair
+    (possibly traced — see ``seed_to_pair``); both derive the identical key
+    via the same fold_in chain, so the stream is a pure function of
+    (seed, ty, tx) independent of evaluation order, batch composition, or
+    whether the seed was baked or passed as data.
     """
-    lo, hi = split_seed(seed)
-    key = jax.random.key(jnp.uint32(lo))
-    key = jax.random.fold_in(key, jnp.uint32(hi))
+    if isinstance(seed, (int, np.integer)):
+        lo, hi = split_seed(seed)
+        key = jax.random.key(jnp.uint32(lo))
+        key = jax.random.fold_in(key, jnp.uint32(hi))
+    else:
+        seed = jnp.asarray(seed)
+        key = jax.random.key(seed[0].astype(jnp.uint32))
+        key = jax.random.fold_in(key, seed[1].astype(jnp.uint32))
     key = jax.random.fold_in(key, jnp.asarray(ty, dtype=jnp.int32).astype(jnp.uint32))
     key = jax.random.fold_in(key, jnp.asarray(tx, dtype=jnp.int32).astype(jnp.uint32))
     return key
@@ -103,10 +119,6 @@ def threefry_tile(seed, ty, tx, channels: int, tile_h: int, tile_w: int, dtype=j
     return jax.random.normal(_tile_key(seed, ty, tx), (channels, tile_h, tile_w), dtype=dtype)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("seed", "h", "w", "channels", "tile_h", "tile_w", "dtype"),
-)
 def threefry_noise_patch(
     seed,
     y0,
@@ -121,10 +133,29 @@ def threefry_noise_patch(
 ):
     """(C, h, w) crop of the threefry tile field; (y0, x0) may be traced.
 
+    ``seed`` is a python int or a (2,) uint32 [lo, hi] pair; the pair form
+    may be traced, so ONE compiled program serves every seed (the stream is
+    identical either way — see ``_tile_key``).  Python ints are converted to
+    pairs *before* the jit boundary (64-bit seeds don't fit a traced int32).
+
     Generates the (static) bounding set of tiles covering any alignment of the
     crop, then dynamic-slices — branch-free, so it compiles once per shape and
     runs on device regardless of position (including negative coordinates).
     """
+    if isinstance(seed, (int, np.integer)):
+        seed = seed_to_pair(seed)
+    return _threefry_noise_patch(
+        seed, y0, x0, h=h, w=w, channels=channels,
+        tile_h=tile_h, tile_w=tile_w, dtype=dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "w", "channels", "tile_h", "tile_w", "dtype"),
+)
+def _threefry_noise_patch(
+    seed, y0, x0, *, h, w, channels, tile_h, tile_w, dtype,
+):
     ny = (h - 2) // tile_h + 2  # max tiles spanned vertically for any offset
     nx = (w - 2) // tile_w + 2
     ty0 = jnp.floor_divide(y0, tile_h)

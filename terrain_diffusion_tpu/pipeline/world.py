@@ -52,6 +52,7 @@ from terrain_diffusion_tpu.ops.image import (
 from terrain_diffusion_tpu.ops.laplacian import laplacian_decode, laplacian_denoise
 from terrain_diffusion_tpu.ops.noise_field import (
     gaussian_noise_patch,
+    seed_to_pair,
     threefry_noise_patch,
 )
 from terrain_diffusion_tpu.ops.rng_portable import next_seed
@@ -269,6 +270,7 @@ class WorldPipeline:
         self.coarse_model, self.coarse_params = coarse
         self.base_model, self.base_params = base
         self.decoder_model, self.decoder_params = decoder
+        self._compiled = {}  # stage programs close over the model objects
         return self
 
     # ==================================================================
@@ -316,10 +318,21 @@ class WorldPipeline:
         )
 
     def _build_hierarchy(self):
-        self._compiled = {}
+        # NOTE: self._compiled is deliberately NOT reset here.  Stage
+        # programs take the seed as a *traced* uint32 pair and are keyed on
+        # the static config actually baked into them, so rebuild()/
+        # change_seed() reuse every compiled program — on remote-compile
+        # backends a seed change would otherwise cost a full recompile storm.
         self.coarse = self._build_coarse_stage()
         self.latents = self._build_latent_stage()
         self.residual = self._build_decoder_stage()
+
+    def _prog(self, key, builder):
+        """Fetch-or-build a jitted stage program keyed on the static config
+        baked into its HLO (seed and geometry arrive as traced data)."""
+        if key not in self._compiled:
+            self._compiled[key] = builder()
+        return self._compiled[key]
 
     def empty_cache(self):
         if self.tile_store is None:
@@ -536,58 +549,68 @@ class WorldPipeline:
         t_cond = np.arctan(np.asarray(self.kwargs["cond_snr"], np.float32))
         cond_scalar_vals = np.log(np.tan(t_cond) / 8.0)
         wwin = jnp.asarray(linear_weight_window(TILE // pool))
-        seed = self.seed
         model, params = self.coarse_model, self.coarse_params
         dt = self._dtype
         threefry = self.noise_mode == "threefry"
         pool_modes = (self.kwargs["elev_coarse_pool_mode"],
                       self.kwargs["p5_coarse_pool_mode"])
 
-        @jax.jit
-        def coarse_prog(ii, jj, cond_map, cond_noise_in, sample_noise_in, mparams):
-            # cond_map: (B, 5, 64, 64) normalized; noise inputs used when not threefry
-            def one(i1, j1, cond, cnoise_in, snoise_in):
-                if threefry:
-                    cond_noise = self._noise_in_program(seed, i1, j1, TILE, TILE, 5, TILE)
-                    sample_noise = self._noise_in_program(seed + 1, i1, j1, TILE, TILE, 6, TILE)
-                else:
-                    cond_noise, sample_noise = cnoise_in, snoise_in
-                tc = jnp.asarray(t_cond).reshape(-1, 1, 1)
-                cond_img = jnp.cos(tc) * cond + jnp.sin(tc) * cond_noise  # (5,64,64)
-                x = sample_noise * sigmas0  # (6,64,64)
+        def build_prog():
+            @jax.jit
+            def coarse_prog(ii, jj, cond_map, cond_noise_in, sample_noise_in,
+                            seed_cond, seed_samp, mparams):
+                # cond_map: (B, 5, 64, 64) normalized; noise inputs used when
+                # not threefry; seed_cond/seed_samp: (2,) uint32 traced seeds
+                def one(i1, j1, cond, cnoise_in, snoise_in):
+                    if threefry:
+                        cond_noise = self._noise_in_program(seed_cond, i1, j1, TILE, TILE, 5, TILE)
+                        sample_noise = self._noise_in_program(seed_samp, i1, j1, TILE, TILE, 6, TILE)
+                    else:
+                        cond_noise, sample_noise = cnoise_in, snoise_in
+                    tc = jnp.asarray(t_cond).reshape(-1, 1, 1)
+                    cond_img = jnp.cos(tc) * cond + jnp.sin(tc) * cond_noise  # (5,64,64)
+                    x = sample_noise * sigmas0  # (6,64,64)
 
-                cond_scalars = [jnp.asarray([v], dtype=dt) for v in cond_scalar_vals]
+                    cond_scalars = [jnp.asarray([v], dtype=dt) for v in cond_scalar_vals]
 
-                def model_fn(scaled, sigma):
-                    cnoise = trigflow_precondition_noise(sigma, cfg.sigma_data)
-                    x_in = jnp.concatenate([scaled, cond_img], axis=0)  # (11,64,64)
-                    x_in = jnp.transpose(x_in, (1, 2, 0))[None].astype(dt)  # NHWC
-                    out = model.apply(mparams, x_in, jnp.full((1,), cnoise, dtype=dt),
-                                      cond_scalars, compute_dtype=dt)
-                    return jnp.transpose(out[0], (2, 0, 1)).astype(jnp.float32)
+                    def model_fn(scaled, sigma):
+                        cnoise = trigflow_precondition_noise(sigma, cfg.sigma_data)
+                        x_in = jnp.concatenate([scaled, cond_img], axis=0)  # (11,64,64)
+                        x_in = jnp.transpose(x_in, (1, 2, 0))[None].astype(dt)  # NHWC
+                        out = model.apply(mparams, x_in, jnp.full((1,), cnoise, dtype=dt),
+                                          cond_scalars, compute_dtype=dt)
+                        return jnp.transpose(out[0], (2, 0, 1)).astype(jnp.float32)
 
-                from terrain_diffusion_tpu.scheduler import sample_dpm
+                    from terrain_diffusion_tpu.scheduler import sample_dpm
 
-                sample = sample_dpm(model_fn, x, cfg, 20)
-                sample = sample / cfg.sigma_data
-                sample = sample * jnp.asarray(stds).reshape(-1, 1, 1) + \
-                    jnp.asarray(means).reshape(-1, 1, 1)
-                sample = sample.at[1].set(sample[0] - sample[1])
-                if pool > 1:
-                    ch0 = {"max": max_pool, "min": min_pool}.get(pool_modes[0], avg_pool)(
-                        sample[0:1], pool)
-                    ch1 = {"max": max_pool, "min": min_pool}.get(pool_modes[1], avg_pool)(
-                        sample[1:2], pool)
-                    rest = avg_pool(sample[2:], pool)
-                    sample = jnp.concatenate([ch0, ch1, rest], axis=0)
-                return jnp.concatenate([sample * wwin[None], wwin[None]], axis=0)
+                    sample = sample_dpm(model_fn, x, cfg, 20)
+                    sample = sample / cfg.sigma_data
+                    sample = sample * jnp.asarray(stds).reshape(-1, 1, 1) + \
+                        jnp.asarray(means).reshape(-1, 1, 1)
+                    sample = sample.at[1].set(sample[0] - sample[1])
+                    if pool > 1:
+                        ch0 = {"max": max_pool, "min": min_pool}.get(pool_modes[0], avg_pool)(
+                            sample[0:1], pool)
+                        ch1 = {"max": max_pool, "min": min_pool}.get(pool_modes[1], avg_pool)(
+                            sample[1:2], pool)
+                        rest = avg_pool(sample[2:], pool)
+                        sample = jnp.concatenate([ch0, ch1, rest], axis=0)
+                    return jnp.concatenate([sample * wwin[None], wwin[None]], axis=0)
 
-            return jax.vmap(one)(ii, jj, cond_map, cond_noise_in, sample_noise_in)
+                return jax.vmap(one)(ii, jj, cond_map, cond_noise_in, sample_noise_in)
+
+            return coarse_prog
+
+        coarse_prog = self._prog(
+            ("coarse", tuple(self.kwargs["cond_snr"]),
+             tuple(self.kwargs["coarse_means"]), tuple(self.kwargs["coarse_stds"]),
+             pool, pool_modes, dt.__name__, threefry), build_prog)
 
         def f(ctxs):
             B = len(ctxs)
             if self.log_mode == "verbose":
                 print(f"Coarse f batch {B} at {[tuple(c) for c in ctxs]}")
+            seed = self.seed
             conds, cns, sns = [], [], []
             i1s, j1s = [], []
             for ctx in ctxs:
@@ -612,7 +635,9 @@ class WorldPipeline:
                 self._shard_batch(np.asarray(j1s)),
                 self._shard_batch(np.stack(conds)),
                 self._shard_batch(np.stack(cns)),
-                self._shard_batch(np.stack(sns)), self._replicated(params)))
+                self._shard_batch(np.stack(sns)),
+                seed_to_pair(seed), seed_to_pair(seed + 1),
+                self._replicated(params)))
 
         coarse_buckets = self._mesh_buckets((1, 2, 4, 8, 16, 32))
         return InfiniteTensor(
@@ -634,7 +659,6 @@ class WorldPipeline:
         hist_raw = np.asarray(self.kwargs["histogram_raw"], np.float32)
         model, params = self.base_model, self.base_params
         dt = self._dtype
-        seed = self.seed
         threefry = self.noise_mode == "threefry"
 
         def build_cond(coarse_region):
@@ -664,45 +688,54 @@ class WorldPipeline:
                 [means_crop, p5_crop, climate, mask_crop,
                  jnp.asarray(hist_raw), noise_level_norm], axis=0)
 
-        @jax.jit
-        def prog(ctx_i, ctx_j, coarse_regions, prev_regions, noise_in, mparams):
-            def one(ci, cj, coarse_region, prev_region, z_in):
-                if with_prev:
-                    prev = prev_region[:-1] / prev_region[-1:] * sd  # (5,64,64)
-                else:
-                    prev = jnp.zeros((5, TILE, TILE), jnp.float32)
-                cond_vec = build_cond(coarse_region)
-                if threefry:
-                    z = self._noise_in_program(seed + seed_offset, ci * STRIDE,
-                                               cj * STRIDE, TILE, TILE, 5, TILE)
-                else:
-                    z = z_in
-                t = jnp.float32(t_value)
-                x_t = jnp.cos(t) * prev + jnp.sin(t) * (z * sd)
-                model_in = x_t / sd
-                return x_t, model_in, cond_vec
+        def build_prog():
+            @jax.jit
+            def prog(ctx_i, ctx_j, coarse_regions, prev_regions, noise_in,
+                     seed_pair, mparams):
+                def one(ci, cj, coarse_region, prev_region, z_in):
+                    if with_prev:
+                        prev = prev_region[:-1] / prev_region[-1:] * sd  # (5,64,64)
+                    else:
+                        prev = jnp.zeros((5, TILE, TILE), jnp.float32)
+                    cond_vec = build_cond(coarse_region)
+                    if threefry:
+                        z = self._noise_in_program(seed_pair, ci * STRIDE,
+                                                   cj * STRIDE, TILE, TILE, 5, TILE)
+                    else:
+                        z = z_in
+                    t = jnp.float32(t_value)
+                    x_t = jnp.cos(t) * prev + jnp.sin(t) * (z * sd)
+                    model_in = x_t / sd
+                    return x_t, model_in, cond_vec
 
-            x_ts, model_ins, cond_vecs = jax.vmap(one)(
-                ctx_i, ctx_j, coarse_regions, prev_regions, noise_in)
-            B = model_ins.shape[0]
-            x_in = jnp.transpose(model_ins, (0, 2, 3, 1)).astype(dt)  # NHWC
-            t = jnp.float32(t_value)
-            nl = jnp.full((B,), t, dtype=dt)
-            pred = -model.apply(mparams, x_in, nl, [cond_vecs.astype(dt)],
-                                compute_dtype=dt)
-            pred = jnp.transpose(pred, (0, 3, 1, 2)).astype(jnp.float32)
-            sample = jnp.cos(t) * x_ts - jnp.sin(t) * sd * pred
-            sample = sample / sd
-            wwin = jnp.asarray(linear_weight_window(TILE))
-            return jnp.concatenate(
-                [sample * wwin[None, None], jnp.broadcast_to(wwin, (B, 1, TILE, TILE))],
-                axis=1)
+                x_ts, model_ins, cond_vecs = jax.vmap(one)(
+                    ctx_i, ctx_j, coarse_regions, prev_regions, noise_in)
+                B = model_ins.shape[0]
+                x_in = jnp.transpose(model_ins, (0, 2, 3, 1)).astype(dt)  # NHWC
+                t = jnp.float32(t_value)
+                nl = jnp.full((B,), t, dtype=dt)
+                pred = -model.apply(mparams, x_in, nl, [cond_vecs.astype(dt)],
+                                    compute_dtype=dt)
+                pred = jnp.transpose(pred, (0, 3, 1, 2)).astype(jnp.float32)
+                sample = jnp.cos(t) * x_ts - jnp.sin(t) * sd * pred
+                sample = sample / sd
+                wwin = jnp.asarray(linear_weight_window(TILE))
+                return jnp.concatenate(
+                    [sample * wwin[None, None], jnp.broadcast_to(wwin, (B, 1, TILE, TILE))],
+                    axis=1)
+
+            return prog
+
+        prog = self._prog(
+            ("latent", float(t_value), bool(with_prev), tuple(hist_raw.tolist()),
+             dt.__name__, threefry), build_prog)
 
         def make_f():
             def f(ctxs, *regions):
                 B = len(ctxs)
                 if self.log_mode == "verbose":
                     print(f"Latent f ({'step' if with_prev else 'init'}) batch {B}")
+                seed = self.seed
                 if with_prev:
                     prevs, coarses = regions
                 else:
@@ -723,6 +756,7 @@ class WorldPipeline:
                     self._shard_batch(coarses),
                     self._shard_batch(prevs),
                     self._shard_batch(np.asarray(noise)),
+                    seed_to_pair(seed + seed_offset),
                     self._replicated(params)))
             return f
 
@@ -796,39 +830,47 @@ class WorldPipeline:
         wwin_np = linear_weight_window(TILE)
         model, params = self.decoder_model, self.decoder_params
         dt = self._dtype
-        seed = self.seed
         threefry = self.noise_mode == "threefry"
 
-        @jax.jit
-        def prog(ctx_i, ctx_j, latents_regions, noise_in, mparams):
-            def one(ci, cj, latents_region, z_in):
-                lat = (latents_region[:-1] / latents_region[-1:])[:4]
-                up = upsample_nearest(lat, lc)  # (4, TILE, TILE)
-                sample = jnp.zeros((1, TILE, TILE), jnp.float32)
-                for step, t_val in enumerate(t_list):
-                    if threefry:
-                        z = self._noise_in_program(seed + 5819 + step, ci * STRIDE,
-                                                   cj * STRIDE, TILE, TILE, 1, TILE)
-                    else:
-                        z = z_in[step]
-                    t = jnp.float32(t_val)
-                    x_t = jnp.cos(t) * sample + jnp.sin(t) * (z * sd)
-                    model_in = jnp.concatenate([x_t / sd, up], axis=0)  # (5,T,T)
-                    x_in = jnp.transpose(model_in, (1, 2, 0))[None].astype(dt)
-                    pred = -model.apply(mparams, x_in, jnp.full((1,), t, dtype=dt),
-                                        [], compute_dtype=dt)
-                    pred = jnp.transpose(pred[0], (2, 0, 1)).astype(jnp.float32)
-                    sample = jnp.cos(t) * x_t - jnp.sin(t) * sd * pred
-                sample = sample / sd
-                wwin = jnp.asarray(wwin_np)
-                return jnp.concatenate([sample * wwin[None], wwin[None]], axis=0)
+        def build_prog():
+            @jax.jit
+            def prog(ctx_i, ctx_j, latents_regions, noise_in, seed_pairs, mparams):
+                # seed_pairs: (len(t_list), 2) uint32 traced per-step seeds
+                def one(ci, cj, latents_region, z_in):
+                    lat = (latents_region[:-1] / latents_region[-1:])[:4]
+                    up = upsample_nearest(lat, lc)  # (4, TILE, TILE)
+                    sample = jnp.zeros((1, TILE, TILE), jnp.float32)
+                    for step, t_val in enumerate(t_list):
+                        if threefry:
+                            z = self._noise_in_program(seed_pairs[step], ci * STRIDE,
+                                                       cj * STRIDE, TILE, TILE, 1, TILE)
+                        else:
+                            z = z_in[step]
+                        t = jnp.float32(t_val)
+                        x_t = jnp.cos(t) * sample + jnp.sin(t) * (z * sd)
+                        model_in = jnp.concatenate([x_t / sd, up], axis=0)  # (5,T,T)
+                        x_in = jnp.transpose(model_in, (1, 2, 0))[None].astype(dt)
+                        pred = -model.apply(mparams, x_in, jnp.full((1,), t, dtype=dt),
+                                            [], compute_dtype=dt)
+                        pred = jnp.transpose(pred[0], (2, 0, 1)).astype(jnp.float32)
+                        sample = jnp.cos(t) * x_t - jnp.sin(t) * sd * pred
+                    sample = sample / sd
+                    wwin = jnp.asarray(wwin_np)
+                    return jnp.concatenate([sample * wwin[None], wwin[None]], axis=0)
 
-            return jax.vmap(one)(ctx_i, ctx_j, latents_regions, noise_in)
+                return jax.vmap(one)(ctx_i, ctx_j, latents_regions, noise_in)
+
+            return prog
+
+        prog = self._prog(
+            ("decoder", tuple(t_list), TILE, STRIDE, lc, dt.__name__, threefry),
+            build_prog)
 
         def f(ctxs, latents_regions):
             B = len(ctxs)
             if self.log_mode == "verbose":
                 print(f"Residual f batch {B} at {[tuple(c) for c in ctxs]}")
+            seed = self.seed
             if threefry:
                 noise = np.zeros((B, len(t_list), 1, 1, 1), np.float32)
             else:
@@ -838,11 +880,14 @@ class WorldPipeline:
                                          int(c[2]) * STRIDE, TILE, TILE, 1, TILE)
                         for s in range(len(t_list))])
                     for c in ctxs])
+            seed_pairs = np.stack([seed_to_pair(seed + 5819 + s)
+                                   for s in range(len(t_list))])
             return self._timed("decoder", lambda: prog(
                 self._shard_batch(np.ascontiguousarray(ctxs[:, 1])),
                 self._shard_batch(np.ascontiguousarray(ctxs[:, 2])),
                 self._shard_batch(latents_regions),
                 self._shard_batch(np.asarray(noise)),
+                seed_pairs,
                 self._replicated(params)))
 
         out_win = TensorWindow((2, TILE, TILE), (2, STRIDE, STRIDE))
@@ -863,10 +908,10 @@ class WorldPipeline:
     def _elev_core(self):
         """Jitted elevation composition; one compile per query shape (avoids
         slow per-primitive dispatch compiles)."""
-        if "elev_core" not in self._compiled:
-            RES_MEAN = self.kwargs["residual_mean"]
-            RES_STD = self.kwargs["residual_std"]
+        RES_MEAN = self.kwargs["residual_mean"]
+        RES_STD = self.kwargs["residual_std"]
 
+        def build():
             # oi/oj (query alignment within the padded region) are TRACED —
             # only h/w are compile-time; otherwise every new alignment costs
             # a remote XLA compile of the whole composition program
@@ -880,12 +925,14 @@ class WorldPipeline:
                 elev_sqrt = jax.lax.dynamic_slice(elev_p, (oi, oj), (h, w))
                 return signed_square(elev_sqrt)
 
-            self._compiled["elev_core"] = core
-        return self._compiled["elev_core"]
+            return core
 
-    def _compute_elev(self, i1, j1, i2, j2, scale: int):
-        """Elevation in meters for [i1:i2) x [j1:j2)
-        (reference `_compute_elev`, :1276-1313)."""
+        return self._prog(("elev_core", float(RES_MEAN), float(RES_STD)), build)
+
+    @staticmethod
+    def _elev_ranges(i1, j1, i2, j2, scale: int):
+        """(residual_ranges, latents_ranges, pi1, pj1) read regions for an
+        elevation query — shared by get() and the multi-query planner."""
         sigma = 5
         kernel_size = (int(sigma * 2) // 2) * 2 + 1
         pad_lr = kernel_size // 2 + 1
@@ -898,11 +945,31 @@ class WorldPipeline:
         pj1 = ((j1 - pad_hr) // scale) * scale
         pi2 = ceil_div(i2 + pad_hr, scale) * scale
         pj2 = ceil_div(j2 + pad_hr, scale) * scale
+        res_ranges = [(0, 2), (pi1, pi2), (pj1, pj2)]
+        lat_ranges = [(0, 6), (pi1 // scale, pi2 // scale),
+                      (pj1 // scale, pj2 // scale)]
+        return res_ranges, lat_ranges, pi1, pj1
 
-        residual_init = self.residual.read_device(
-            [(0, 2), (pi1, pi2), (pj1, pj2)])
-        latents_init = self.latents.read_device(
-            [(0, 6), (pi1 // scale, pi2 // scale), (pj1 // scale, pj2 // scale)])
+    @staticmethod
+    def _climate_ranges(i1, j1, i2, j2, scale: int):
+        """Coarse read region for a climate query."""
+
+        def ceil_div(a, b):
+            return -((-a) // b)
+
+        S = 32 * scale
+        ci1, cj1 = i1 // S, j1 // S
+        ci2, cj2 = ceil_div(i2, S), ceil_div(j2, S)
+        win = 15
+        pad = (win - 1) // 2 + 1
+        return [(0, 7), (ci1 - pad, ci2 + pad), (cj1 - pad, cj2 + pad)]
+
+    def _compute_elev(self, i1, j1, i2, j2, scale: int):
+        """Elevation in meters for [i1:i2) x [j1:j2)
+        (reference `_compute_elev`, :1276-1313)."""
+        res_ranges, lat_ranges, pi1, pj1 = self._elev_ranges(i1, j1, i2, j2, scale)
+        residual_init = self.residual.read_device(res_ranges)
+        latents_init = self.latents.read_device(lat_ranges)
         # returns a device array so climate composition can consume it
         # without a host round trip; get() materializes once at the end
         return self._elev_core()(
@@ -929,7 +996,7 @@ class WorldPipeline:
         u = (ii + 0.5) / S - ci1 + 0.5
         v = (jj + 0.5) / S - cj1 + 0.5
 
-        if "climate_core" not in self._compiled:
+        def build_climate_core():
             @jax.jit
             def core(coarse_init, u, v, elev):
                 coarse_map = coarse_init[:-1] / coarse_init[-1:]
@@ -950,8 +1017,9 @@ class WorldPipeline:
                 return jnp.stack([temp_realistic, feats_up[2 + 3], feats_up[2 + 4],
                                   feats_up[2 + 5], feats_up[1]])
 
-            self._compiled["climate_core"] = core
-        climate = self._compiled["climate_core"](
+            return core
+
+        climate = self._prog(("climate_core", win), build_climate_core)(
             coarse_init, jnp.asarray(u, dtype=jnp.float32),
             jnp.asarray(v, dtype=jnp.float32), jnp.asarray(elev))
         return np.asarray(climate, dtype=np.float32)
@@ -966,3 +1034,31 @@ class WorldPipeline:
         return {"elev": self._timed("fetch_elev", lambda: np.asarray(
             elev_dev, dtype=np.float32)),
                 "climate": climate}
+
+    def prefetch(self, queries, with_climate: bool = True) -> None:
+        """Plan + generate every stage window needed by ALL `queries`
+        (list of (i1, j1, i2, j2) boxes) in one coalesced pass: missing
+        windows across the queries merge into shared stage batches, so N
+        concurrent tile requests cost the same few large dispatches as one
+        (the reference serves strictly sequentially — Flask threaded=False,
+        `api.py:249` — so this path has no reference counterpart to match,
+        only to beat)."""
+        scale = self.latent_compression
+        res_list, lat_list, coarse_list = [], [], []
+        for (i1, j1, i2, j2) in queries:
+            res_ranges, lat_ranges, _, _ = self._elev_ranges(i1, j1, i2, j2, scale)
+            res_list.append(res_ranges)
+            lat_list.append(lat_ranges)
+            if with_climate:
+                coarse_list.append(self._climate_ranges(i1, j1, i2, j2, scale))
+        self.residual.ensure_regions(res_list)
+        self.latents.ensure_regions(lat_list)
+        if coarse_list:
+            self.coarse.ensure_regions(coarse_list)
+
+    def get_many(self, queries, with_climate: bool = True) -> list:
+        """Batched get(): one coalesced generation pass over all queries,
+        then per-query composition (results identical to sequential get)."""
+        self._timed("prefetch", lambda: self.prefetch(queries, with_climate))
+        return [self.get(i1, j1, i2, j2, with_climate=with_climate)
+                for (i1, j1, i2, j2) in queries]

@@ -330,9 +330,18 @@ class InfiniteTensor:
     # Planning
     # ------------------------------------------------------------------
     def ensure_region(self, ranges):
+        self.ensure_regions([ranges])
+
+    def ensure_regions(self, ranges_list):
+        """Plan + evaluate every window needed by ALL of `ranges_list` in one
+        pass: missing windows across the regions merge into shared stage
+        batches (the cross-request coalescing primitive — N concurrent tile
+        queries dispatch the same few large programs one query would)."""
         need: dict[int, set] = {}
         tensors: dict[int, InfiniteTensor] = {}
-        idxs = set(self.output_window.windows_overlapping(ranges))
+        idxs = set()
+        for ranges in ranges_list:
+            idxs |= set(self.output_window.windows_overlapping(ranges))
         self._collect_needed(idxs, need, tensors)
         for t in self._topo_order():
             n = need.get(id(t))

@@ -55,6 +55,11 @@ def _get_pipeline():
             _PIPELINE.bind(hdf5_file=hdf5_file)
         else:
             _PIPELINE.bind(hdf5_file or "TEMP")
+    if cfg.get("coalesce"):
+        from terrain_diffusion_tpu.serving.coalesce import CoalescedPipeline
+
+        _PIPELINE = CoalescedPipeline(_PIPELINE,
+                                      max_batch=cfg.get("coalesce_max_batch", 16))
     print(f"World seed: {_PIPELINE.seed}")
     return _PIPELINE
 
@@ -173,7 +178,9 @@ def configure(**config):
 @click.option("--host", default="0.0.0.0")
 @click.option("--port", type=int, default=int(os.getenv("PORT", "8000")))
 @click.option("--threaded/--no-threaded", default=False,
-              help="Accept concurrent clients (generation stays serialized)")
+              help="Accept concurrent clients; their tile requests coalesce "
+                   "into shared stage batches (one generation pass serves "
+                   "all in-flight queries)")
 @click.option("--kwarg", "extra_kwargs", multiple=True,
               help="Additional key=value pipeline kwargs")
 def main(model_path, caching_strategy, hdf5_file, cache_size, seed, batch_size,
@@ -195,9 +202,10 @@ def main(model_path, caching_strategy, hdf5_file, cache_size, seed, batch_size,
         log_mode=log_mode,
         dtype=None if dtype == "fp32" else dtype,
         kwargs=parse_kwargs(extra_kwargs),
+        coalesce=threaded,
     )
     _get_pipeline()
-    app.run(host=host, port=port, threaded=threaded)
+    app.run(host=host, port=port, threaded=threaded, serialize=not threaded)
 
 
 if __name__ == "__main__":

@@ -130,11 +130,14 @@ class App:
         return [resp.body]
 
     def run(self, host: str = "0.0.0.0", port: int = 8000, quiet: bool = False,
-            threaded: bool = False):
-        """Serve forever.  threaded=True accepts concurrent clients (handler
-        execution still serialized by `self.lock`, so the pipeline's tile
-        stores never race — same concurrency contract as the reference's
-        single-threaded Flask, but clients aren't blocked at accept)."""
+            threaded: bool = False, serialize: bool = True):
+        """Serve forever.  threaded=True accepts concurrent clients; with
+        serialize=True handler execution is serialized by a lock (pipeline
+        tile stores never race — the reference's single-threaded-Flask
+        contract, minus accept blocking).  serialize=False runs handlers
+        concurrently — only valid when they are thread-safe (e.g. the
+        pipeline is wrapped in serving.coalesce.CoalescedPipeline, which
+        coalesces concurrent tile requests into shared stage batches)."""
         import socketserver
         import threading
 
@@ -158,8 +161,12 @@ class App:
             class _ThreadingWSGIServer(socketserver.ThreadingMixIn, WSGIServer):
                 daemon_threads = True
             server_cls = _ThreadingWSGIServer
-            app_fn = locked_wsgi
-            mode = "threaded (serialized pipeline)"
+            if serialize:
+                app_fn = locked_wsgi
+                mode = "threaded (serialized pipeline)"
+            else:
+                app_fn = inner
+                mode = "threaded (coalesced pipeline)"
         with make_server(host, port, app_fn, server_class=server_cls,
                          handler_class=handler_cls) as httpd:
             print(f"* Serving {self.name} on http://{host}:{port} ({mode})")

@@ -1,0 +1,133 @@
+"""Cross-request coalescing: worker batching semantics (fake world) and the
+CoalescedPipeline facade's thread-safety/ordering contract.
+
+The generation-side win (N concurrent queries -> shared stage batches) is
+covered on the real pipeline by
+tests/test_pipeline.py::test_get_many_coalesces_and_matches_sequential.
+"""
+import threading
+import time
+
+import numpy as np
+
+from terrain_diffusion_tpu.serving.coalesce import CoalescedPipeline, RequestCoalescer
+
+
+class FakeWorld:
+    """Records every pipeline touch with the calling thread; slow prefetch
+    so concurrent submissions pile up behind the first batch."""
+
+    def __init__(self, prefetch_s: float = 0.05):
+        self.seed = 42
+        self.tile_store = object()  # api._get_pipeline checks bind state
+        self.prefetch_s = prefetch_s
+        self.prefetch_batches = []
+        self.get_calls = []
+        self.touch_threads = set()
+        self.closed = False
+
+    def prefetch(self, queries, with_climate=True):
+        self.touch_threads.add(threading.current_thread().name)
+        self.prefetch_batches.append(list(queries))
+        time.sleep(self.prefetch_s)
+
+    def get_many(self, queries, with_climate=True):
+        self.prefetch(queries, with_climate)
+        return [self.get(*q, with_climate=with_climate) for q in queries]
+
+    def get(self, i1, j1, i2, j2, with_climate=True):
+        self.touch_threads.add(threading.current_thread().name)
+        self.get_calls.append((i1, j1, i2, j2))
+        elev = np.full((i2 - i1, j2 - j1), float(i1 * 1000 + j1), np.float32)
+        return {"elev": elev,
+                "climate": np.zeros((5, i2 - i1, j2 - j1), np.float32)
+                if with_climate else None}
+
+    def change_seed(self, seed=None):
+        self.touch_threads.add(threading.current_thread().name)
+        if seed == self.seed:
+            return False
+        self.seed = seed
+        return True
+
+    def close(self):
+        self.closed = True
+
+
+def test_concurrent_requests_coalesce_into_shared_batches():
+    world = FakeWorld(prefetch_s=0.2)
+    c = RequestCoalescer(world, max_batch=16)
+    results = {}
+
+    def client(k):
+        results[k] = c.get_terrain(k, 0, k + 8, 8)
+
+    threads = [threading.Thread(target=client, args=(k,)) for k in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=10)
+    c.close()
+
+    # every client got its own tile
+    for k in range(4):
+        assert results[k]["elev"][0, 0] == k * 1000
+    # the worker drained the queue: strictly fewer generation passes than
+    # requests, and at least one pass served >= 2 queries
+    assert len(world.prefetch_batches) < 4, world.prefetch_batches
+    assert max(len(b) for b in world.prefetch_batches) >= 2
+    # the pipeline was only ever touched by the single worker thread
+    assert world.touch_threads == {"pipeline-coalescer"}
+
+
+def test_mutators_run_solo_on_worker_thread():
+    world = FakeWorld(prefetch_s=0.0)
+    p = CoalescedPipeline(world)
+    assert p.seed == 42
+    assert p.change_seed(7) is True
+    assert p.seed == 7
+    assert p.change_seed(7) is False
+    out = p.get(0, 0, 4, 4)
+    assert out["elev"].shape == (4, 4)
+    outs = p.get_many([(0, 0, 4, 4), (8, 0, 12, 4)])
+    assert len(outs) == 2 and outs[1]["elev"][0, 0] == 8000
+    assert world.touch_threads == {"pipeline-coalescer"}
+    p.close()
+    assert world.closed
+
+
+def test_errors_propagate_to_the_caller():
+    world = FakeWorld()
+
+    def boom(w):
+        raise ValueError("nope")
+
+    c = RequestCoalescer(world)
+    try:
+        c.run(boom)
+        raised = False
+    except ValueError as e:
+        raised = str(e) == "nope"
+    assert raised
+    # terrain errors too
+    world.prefetch = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("gen"))
+    try:
+        c.get_terrain(0, 0, 4, 4)
+        raised = False
+    except RuntimeError as e:
+        raised = str(e) == "gen"
+    assert raised
+    c.close()
+
+
+def test_api_threaded_mode_uses_coalesced_pipeline():
+    from terrain_diffusion_tpu.serving import api
+
+    world = FakeWorld()
+    api.configure(pipeline=world, coalesce=True)
+    p = api._get_pipeline()
+    assert isinstance(p, CoalescedPipeline)
+    assert p.seed == 42
+    out = p.get(0, 0, 4, 4)
+    assert out["elev"].shape == (4, 4)
+    api.configure()  # reset module state for other tests

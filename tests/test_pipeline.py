@@ -134,6 +134,53 @@ def test_save_and_from_pretrained(models, tmp_path, pipe):
     assert p2.coarse_model.config.in_channels == 11
 
 
+def test_change_seed_reuses_compiled_programs(models):
+    """Seed is a traced input to every stage program: change_seed() must not
+    retrace/recompile anything (jit cache sizes stay fixed), while results
+    remain seed-deterministic (round trip reproduces bit-exactly)."""
+    p = _make_pipe(models)
+    p.bind()
+    a = p.get(0, 0, 24, 24)
+    sizes = {k: f._cache_size() for k, f in p._compiled.items()
+             if hasattr(f, "_cache_size")}
+    assert sizes, "expected cached stage programs"
+    assert p.change_seed(777)
+    b = p.get(0, 0, 24, 24)
+    sizes2 = {k: f._cache_size() for k, f in p._compiled.items()
+              if hasattr(f, "_cache_size")}
+    assert sizes2 == sizes, "seed change retraced stage programs"
+    assert not np.allclose(a["elev"], b["elev"])
+    assert p.change_seed(1234)
+    c = p.get(0, 0, 24, 24)
+    np.testing.assert_array_equal(a["elev"], c["elev"])
+    np.testing.assert_array_equal(a["climate"], c["climate"])
+
+
+def test_get_many_coalesces_and_matches_sequential(models):
+    """get_many(): one coalesced generation pass over N queries — identical
+    results to sequential get(), strictly fewer stage dispatches."""
+    queries = [(0, 0, 24, 24), (60, 0, 84, 24), (0, 60, 24, 84), (60, 60, 84, 84)]
+
+    seq = _make_pipe(models)
+    seq.bind()
+    want = [seq.get(*q) for q in queries]
+    seq_calls = sum(v[0] for k, v in seq.stage_timings.items()
+                    if k in ("coarse", "latent_init", "latent_step", "decoder"))
+
+    co = _make_pipe(models)
+    co.bind()
+    got = co.get_many(queries)
+    co_calls = sum(v[0] for k, v in co.stage_timings.items()
+                   if k in ("coarse", "latent_init", "latent_step", "decoder"))
+
+    # batch composition differs (shared buckets), so executables differ at
+    # the ulp level — same tolerance as cross-pipeline determinism above
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(w["elev"], g["elev"], rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(w["climate"], g["climate"], rtol=1e-5, atol=1e-4)
+    assert co_calls < seq_calls, (co_calls, seq_calls)
+
+
 def test_mesh_tile_parallel(models):
     """Tile batches shard across the 8-device CPU mesh; results identical to
     the single-device pipeline."""
