@@ -29,6 +29,8 @@ def terrain_features(x: jnp.ndarray) -> jnp.ndarray:
     feats = []
     xc = jnp.moveaxis(x, -1, 1)  # (B, C, H, W)
     for scale in (1, 2, 4, 8):
+        if min(x.shape[1], x.shape[2]) // scale < 3:
+            continue  # pooled map too small for gradients/laplacian
         xs = avg_pool(xc, scale) if scale > 1 else xc
         gx = jnp.diff(xs, axis=-1)
         gy = jnp.diff(xs, axis=-2)

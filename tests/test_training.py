@@ -285,3 +285,80 @@ def test_evaluate_full_with_kid(h5_fixture, tmp_path):
     out = trainer.evaluate_full(state, val_ds, _jax.random.key(1))
     assert "val_loss" in out and "val_kid_mean" in out
     assert np.isfinite(out["val_loss"]) and np.isfinite(out["val_kid_mean"])
+
+
+def test_gan_trainer_full_path():
+    """GAN trainer: relativistic losses, R1 penalty on its interval, inject
+    mode, crop, KL/range losses, warmup schedules, FID eval (reference
+    `trainers/gan.py:102-343`)."""
+    from terrain_diffusion_tpu.nn import EDMUnet2D, EDMUnetConfig
+    from terrain_diffusion_tpu.training.trainers.gan import GANTrainer, random_crop
+
+    def unet(in_ch, out_ch):
+        return EDMUnet2D(EDMUnetConfig(
+            image_size=16, in_channels=in_ch, out_channels=out_ch,
+            model_channels=8, model_channel_mults=(1,), layers_per_block=1,
+            midblock_attention=False))
+
+    config = {
+        "training": {"latent_channels": 1, "crop_size": 12, "mode": "inject",
+                     "r_gamma": 0.1, "r_interval": 2, "burnin_steps": 4,
+                     "kl_weight": 0.01, "range_weight": 1.0,
+                     "disc_lr_mult": 2.0, "lr_warmup_factor": 0.1},
+        "g_optimizer": {"kwargs": {"betas": (0.0, 0.99)}},
+        "d_optimizer": {"kwargs": {"betas": (0.0, 0.99)}},
+    }
+    trainer = GANTrainer(config, {
+        "model": unet(2, 1),  # inject: concat(mixed_real, z) -> 2 in-ch
+        "discriminator": unet(1, 1),
+        "lr_sched": ls.ConstantLRScheduler(1e-4)})
+    state = trainer.init_state(jax.random.key(0))
+    counters = {"step": 0, "seen": 0}
+    batch = {"image": np.random.default_rng(0).standard_normal(
+        (2, 16, 16, 1)).astype(np.float32)}
+    m0 = trainer.train_step(state, batch, jax.random.key(1), counters)  # step 0: r1 variant
+    m1 = trainer.train_step(state, batch, jax.random.key(2), counters)  # step 1: plain
+    m2 = trainer.train_step(state, batch, jax.random.key(4), counters)  # step 2: r1 variant
+    for m in (m0, m1, m2):
+        for k in ("d_loss", "g_loss", "kl_loss", "range_loss",
+                  "d_grad_norm", "g_grad_norm"):
+            assert np.isfinite(m[k]), (k, m)
+    # interval=2: penalty variant at even steps; at step 0 the zero-init
+    # output gain makes the disc input-grad (hence the penalty) exactly 0,
+    # by step 2 it is live
+    assert m1["r_loss"] == 0.0 and m2["r_loss"] > 0.0, (m0, m1, m2)
+    # warmup schedules move
+    r0, b20, pf0, lw0 = trainer._current(0)
+    r1, b21, pf1, lw1 = trainer._current(4)
+    assert r0 > r1 and b20 < b21 and lw0 < lw1 == 1.0
+    # FID eval with EMA weights
+    out = trainer.evaluate(state, [batch], jax.random.key(3))
+    assert np.isfinite(out["val/fid"])
+    # crop shapes + determinism per key
+    img = np.arange(2 * 16 * 16).reshape(2, 16, 16, 1).astype(np.float32)
+    c1 = random_crop(jax.random.key(5), jax.numpy.asarray(img), 12)
+    c2 = random_crop(jax.random.key(5), jax.numpy.asarray(img), 12)
+    assert c1.shape == (2, 12, 12, 1)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_gan_trainer_plain_mode():
+    from terrain_diffusion_tpu.nn import EDMUnet2D, EDMUnetConfig
+    from terrain_diffusion_tpu.training.trainers.gan import GANTrainer
+
+    def unet(in_ch, out_ch):
+        return EDMUnet2D(EDMUnetConfig(
+            image_size=16, in_channels=in_ch, out_channels=out_ch,
+            model_channels=8, model_channel_mults=(1,), layers_per_block=1,
+            midblock_attention=False))
+
+    trainer = GANTrainer({"training": {"latent_channels": 1}}, {
+        "model": unet(1, 1), "discriminator": unet(1, 1),
+        "lr_sched": ls.ConstantLRScheduler(1e-4)})
+    state = trainer.init_state(jax.random.key(0))
+    counters = {"step": 0, "seen": 0}
+    batch = {"image": np.random.default_rng(1).standard_normal(
+        (2, 16, 16, 1)).astype(np.float32)}
+    m = trainer.train_step(state, batch, jax.random.key(1), counters)
+    assert np.isfinite(m["d_loss"]) and np.isfinite(m["g_loss"])
+    assert m["r_loss"] == 0.0  # r_gamma=0: no penalty variant built
