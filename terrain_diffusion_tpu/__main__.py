@@ -48,6 +48,8 @@ cli = LazyGroup(
         "tiff-export": "terrain_diffusion_tpu.serving.tiff_export:main",
         # benchmarks
         "latency": "terrain_diffusion_tpu.evaluation.latency:main",
+        # dev visualization harness
+        "dev-viz": "terrain_diffusion_tpu.training.dev_utils.__main__:cli",
     },
 )
 
