@@ -38,6 +38,7 @@ cli = LazyGroup(
         "build-base-dataset": "terrain_diffusion_tpu.data.preprocessing.build_base_dataset:main",
         "build-encoded-dataset": "terrain_diffusion_tpu.data.preprocessing.build_encoded_dataset:main",
         "define-splits": "terrain_diffusion_tpu.data.preprocessing.define_splits:main",
+        "build-synthetic-stats": "terrain_diffusion_tpu.pipeline.synthetic_map:build_stats_main",
         # inference / serving
         "explore": "terrain_diffusion_tpu.serving.explorer.server:main",
         "generate": "terrain_diffusion_tpu.serving.world_generator:main",

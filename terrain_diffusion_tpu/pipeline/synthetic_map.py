@@ -18,6 +18,7 @@ import json
 import os
 import random
 
+import click
 import numpy as np
 
 from terrain_diffusion_tpu.ops.perlin import perlin_fbm
@@ -89,6 +90,85 @@ def save_stats_cache(stats: dict, path: str = STATS_CACHE_PATH):
     }
     with open(path, "w", encoding="utf-8") as f:
         json.dump(payload, f)
+
+
+RASTER_FILES = {  # reference `synthetic_map.py:54-58`
+    "elev": "etopo_10m.tif",
+    "temp": "wc2.1_10m_bio_1.tif",
+    "temp_std": "wc2.1_10m_bio_4.tif",
+    "precip": "wc2.1_10m_bio_12.tif",
+    "precip_cv": "wc2.1_10m_bio_15.tif",
+}
+
+
+def compute_map_stats(frequency_mult=(1.0, 1.0, 1.0, 1.0, 1.0),
+                      drop_water_pct: float = 0.0,
+                      data_dir: str = "data/global") -> dict:
+    """Recompute quantile-matching stats from global rasters — the
+    reference's exact builder (`synthetic_map.py:45-132`): ETOPO elevation +
+    four WorldClim bio layers, polar sixths cropped, nodata masked,
+    temp-seasonality re-baselined by a linear fit on temperature, lapse-rate
+    sea-level temperature, 0.1/99.9 seasonality percentiles, 64-knot
+    empirical quantile tables with a drop-water histogram mask on elevation.
+
+    Noise-side quantiles come from our Perlin FBm on the same 1024x1024
+    sample lattice (seed-independent distribution).  Rasters are read with
+    the first-party GeoTIFF reader (no GDAL); download them once with
+    `data/downloading` tooling or place the files in ``data_dir``.
+    """
+    def read(name):
+        path = os.path.join(data_dir, RASTER_FILES[name])
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"{path} missing - synthetic-map stats need the ETOPO/"
+                "WorldClim rasters (see RASTER_FILES)")
+        from terrain_diffusion_tpu.common.geotiff import read_geotiff
+
+        arr, _t, nodata = read_geotiff(path)
+        img = np.asarray(arr, dtype=np.float64)
+        h = img.shape[0]
+        img = img[h // 6: h - h // 6, :]  # crop polar sixths
+        img[img < -30000] = np.nan
+        if nodata is not None:
+            img[img == nodata] = np.nan
+        return img
+
+    elev = read("elev")
+    temp = read("temp")
+    temp_std = read("temp_std")
+    precip = read("precip")
+    precip_cv = read("precip_cv")
+
+    valid = ~np.isnan(temp)
+    a_temp_std, b_temp_std = np.polyfit(temp[valid], temp_std[valid], 1)
+    temp_std = temp_std - (a_temp_std * temp + b_temp_std)
+
+    lapse = np.clip(-6.5 + 0.0015 * precip, -9.8, -4.0) / 1000
+    temp = temp - lapse * np.maximum(0, elev)
+
+    temp_std_p1 = np.percentile(temp_std[valid], 0.1)
+    temp_std_p99 = np.percentile(temp_std[valid], 99.9)
+
+    rng = np.random.default_rng(0)
+    hist_mask = np.logical_or(rng.random(elev.shape) > drop_water_pct,
+                              elev >= 0)
+    stats = {
+        "a_temp_std": float(a_temp_std),
+        "b_temp_std": float(b_temp_std),
+        "temp_std_p1": float(temp_std_p1),
+        "temp_std_p99": float(temp_std_p99),
+    }
+    images = [(elev, hist_mask), (temp, None), (temp_std, None),
+              (precip, None), (precip_cv, None)]
+    for i, ((freq_base, octaves, lac, gain), (img, mask)) in enumerate(
+            zip(_MAP_CONFIGS, images)):
+        freq = freq_base * frequency_mult[i]
+        stats[f"noise_quantiles_{i}"] = _noise_quantiles(
+            freq, octaves, lac, gain)
+        vals = img[mask] if mask is not None else img
+        stats[f"base_image_quantiles_{i}"] = build_quantiles(
+            vals, n_quantiles=64, eps=1e-4)
+    return stats
 
 
 def make_synthetic_map_factory(
@@ -173,3 +253,22 @@ def make_synthetic_map_factory(
     sample_full.sample_raw = sample_raw
     sample_full.finalize = finalize
     return sample_full
+
+
+@click.command("build-synthetic-stats")
+@click.option("--data-dir", default="data/global",
+              help="directory with the ETOPO/WorldClim rasters")
+@click.option("--out", default=STATS_CACHE_PATH)
+@click.option("--frequency-mult", default="1.5,3,3,3,3",
+              help="per-channel frequency multipliers")
+@click.option("--drop-water-pct", type=float, default=0.5)
+def build_stats_main(data_dir, out, frequency_mult, drop_water_pct):
+    """Recompute the synthetic-map quantile stats from global rasters and
+    write the JSON cache (replaces the parametric default tables with the
+    reference-exact conditioning distributions)."""
+    fm = [float(x) for x in frequency_mult.split(",")]
+    stats = compute_map_stats(fm, drop_water_pct, data_dir)
+    save_stats_cache(stats, out)
+    print(f"wrote {out} (a={stats['a_temp_std']:.4f} "
+          f"b={stats['b_temp_std']:.2f} "
+          f"p1={stats['temp_std_p1']:.2f} p99={stats['temp_std_p99']:.2f})")

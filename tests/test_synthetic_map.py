@@ -81,3 +81,55 @@ def test_synthetic_map_factory():
     # different seeds differ
     g = make_synthetic_map_factory(seed=43)
     assert not np.allclose(g(0, 0, 16, 16), f(0, 0, 16, 16))
+
+
+def test_compute_map_stats_from_rasters(tmp_path):
+    """The recompute-from-rasters stats builder (reference
+    `synthetic_map.py:45-132`): synthetic ETOPO/WorldClim rasters written
+    with the first-party GeoTIFF writer drive the full pipeline — polyfit
+    re-baseline, lapse-rate sea-level temp, percentiles, drop-water-masked
+    64-knot quantile tables — and the resulting stats round-trip through
+    the JSON cache into a working factory."""
+    from terrain_diffusion_tpu.common.geotiff import write_geotiff
+    from terrain_diffusion_tpu.pipeline.synthetic_map import (
+        compute_map_stats, load_stats_cache, make_synthetic_map_factory,
+        save_stats_cache, RASTER_FILES)
+
+    rng = np.random.default_rng(0)
+    H, W = 120, 240
+    lat = np.linspace(60, -60, H)[:, None] * np.ones((1, W))
+    elev = (rng.normal(-2000, 2500, (H, W)) +
+            3000 * np.exp(-((lat / 30) ** 2)))
+    temp = 28 - 0.45 * np.abs(lat) + rng.normal(0, 2, (H, W))
+    temp_std = 120 + 14 * np.abs(lat) + rng.normal(0, 40, (H, W))
+    precip = np.maximum(rng.normal(900, 500, (H, W)), 0)
+    precip_cv = np.maximum(rng.normal(60, 25, (H, W)), 1)
+    data = {"elev": elev, "temp": temp, "temp_std": temp_std,
+            "precip": precip, "precip_cv": precip_cv}
+    for name, arr in data.items():
+        write_geotiff(str(tmp_path / RASTER_FILES[name]),
+                      arr.astype(np.float32))
+
+    stats = compute_map_stats((1.0,) * 5, drop_water_pct=0.5,
+                              data_dir=str(tmp_path))
+    # polyfit recovered the seasonality-latitude trend through temperature
+    assert stats["a_temp_std"] < 0  # colder -> more seasonal
+    assert stats["temp_std_p1"] < 0 < stats["temp_std_p99"]
+    for i in range(5):
+        q = stats[f"base_image_quantiles_{i}"]
+        assert q.shape == (64,) and np.all(np.diff(q) > 0)
+    # drop-water mask biases the elevation table landward vs unmasked
+    stats_all = compute_map_stats((1.0,) * 5, drop_water_pct=0.0,
+                                  data_dir=str(tmp_path))
+    assert np.median(stats["base_image_quantiles_0"]) > np.median(
+        stats_all["base_image_quantiles_0"])
+
+    # JSON round trip -> factory consumes it
+    cache = str(tmp_path / "stats.json")
+    save_stats_cache(stats, cache)
+    loaded = load_stats_cache(cache)
+    np.testing.assert_allclose(loaded["base_image_quantiles_0"],
+                               stats["base_image_quantiles_0"])
+    f = make_synthetic_map_factory(seed=42, stats=loaded)
+    m = f(0, 0, 32, 32)
+    assert m.shape == (5, 32, 32) and np.isfinite(m).all()
