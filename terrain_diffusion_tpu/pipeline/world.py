@@ -555,61 +555,69 @@ class WorldPipeline:
         pool_modes = (self.kwargs["elev_coarse_pool_mode"],
                       self.kwargs["p5_coarse_pool_mode"])
 
-        def build_prog():
-            @jax.jit
-            def coarse_prog(ii, jj, cond_map, cond_noise_in, sample_noise_in,
-                            seed_cond, seed_samp, mparams):
-                # cond_map: (B, 5, 64, 64) normalized; noise inputs used when
-                # not threefry; seed_cond/seed_samp: (2,) uint32 traced seeds
-                def one(i1, j1, cond, cnoise_in, snoise_in):
-                    if threefry:
-                        cond_noise = self._noise_in_program(seed_cond, i1, j1, TILE, TILE, 5, TILE)
-                        sample_noise = self._noise_in_program(seed_samp, i1, j1, TILE, TILE, 6, TILE)
-                    else:
-                        cond_noise, sample_noise = cnoise_in, snoise_in
-                    tc = jnp.asarray(t_cond).reshape(-1, 1, 1)
-                    cond_img = jnp.cos(tc) * cond + jnp.sin(tc) * cond_noise  # (5,64,64)
-                    x = sample_noise * sigmas0  # (6,64,64)
+        def core(ii, jj, cond_map, cond_noise_in, sample_noise_in,
+                 seed_cond, seed_samp, mparams):
+            # cond_map: (B, 5, 64, 64) normalized; noise inputs used when
+            # not threefry; seed_cond/seed_samp: (2,) uint32 traced seeds.
+            # Traceable stage core shared by the standalone program and the
+            # fused (compute + atlas-scatter) program.
+            def one(i1, j1, cond, cnoise_in, snoise_in):
+                if threefry:
+                    cond_noise = self._noise_in_program(seed_cond, i1, j1, TILE, TILE, 5, TILE)
+                    sample_noise = self._noise_in_program(seed_samp, i1, j1, TILE, TILE, 6, TILE)
+                else:
+                    cond_noise, sample_noise = cnoise_in, snoise_in
+                tc = jnp.asarray(t_cond).reshape(-1, 1, 1)
+                cond_img = jnp.cos(tc) * cond + jnp.sin(tc) * cond_noise  # (5,64,64)
+                x = sample_noise * sigmas0  # (6,64,64)
 
-                    cond_scalars = [jnp.asarray([v], dtype=dt) for v in cond_scalar_vals]
+                cond_scalars = [jnp.asarray([v], dtype=dt) for v in cond_scalar_vals]
 
-                    def model_fn(scaled, sigma):
-                        cnoise = trigflow_precondition_noise(sigma, cfg.sigma_data)
-                        x_in = jnp.concatenate([scaled, cond_img], axis=0)  # (11,64,64)
-                        x_in = jnp.transpose(x_in, (1, 2, 0))[None].astype(dt)  # NHWC
-                        out = model.apply(mparams, x_in, jnp.full((1,), cnoise, dtype=dt),
-                                          cond_scalars, compute_dtype=dt)
-                        return jnp.transpose(out[0], (2, 0, 1)).astype(jnp.float32)
+                def model_fn(scaled, sigma):
+                    cnoise = trigflow_precondition_noise(sigma, cfg.sigma_data)
+                    x_in = jnp.concatenate([scaled, cond_img], axis=0)  # (11,64,64)
+                    x_in = jnp.transpose(x_in, (1, 2, 0))[None].astype(dt)  # NHWC
+                    out = model.apply(mparams, x_in, jnp.full((1,), cnoise, dtype=dt),
+                                      cond_scalars, compute_dtype=dt)
+                    return jnp.transpose(out[0], (2, 0, 1)).astype(jnp.float32)
 
-                    from terrain_diffusion_tpu.scheduler import sample_dpm
+                from terrain_diffusion_tpu.scheduler import sample_dpm
 
-                    sample = sample_dpm(model_fn, x, cfg, 20)
-                    sample = sample / cfg.sigma_data
-                    sample = sample * jnp.asarray(stds).reshape(-1, 1, 1) + \
-                        jnp.asarray(means).reshape(-1, 1, 1)
-                    sample = sample.at[1].set(sample[0] - sample[1])
-                    if pool > 1:
-                        ch0 = {"max": max_pool, "min": min_pool}.get(pool_modes[0], avg_pool)(
-                            sample[0:1], pool)
-                        ch1 = {"max": max_pool, "min": min_pool}.get(pool_modes[1], avg_pool)(
-                            sample[1:2], pool)
-                        rest = avg_pool(sample[2:], pool)
-                        sample = jnp.concatenate([ch0, ch1, rest], axis=0)
-                    return jnp.concatenate([sample * wwin[None], wwin[None]], axis=0)
+                sample = sample_dpm(model_fn, x, cfg, 20)
+                sample = sample / cfg.sigma_data
+                sample = sample * jnp.asarray(stds).reshape(-1, 1, 1) + \
+                    jnp.asarray(means).reshape(-1, 1, 1)
+                sample = sample.at[1].set(sample[0] - sample[1])
+                if pool > 1:
+                    ch0 = {"max": max_pool, "min": min_pool}.get(pool_modes[0], avg_pool)(
+                        sample[0:1], pool)
+                    ch1 = {"max": max_pool, "min": min_pool}.get(pool_modes[1], avg_pool)(
+                        sample[1:2], pool)
+                    rest = avg_pool(sample[2:], pool)
+                    sample = jnp.concatenate([ch0, ch1, rest], axis=0)
+                return jnp.concatenate([sample * wwin[None], wwin[None]], axis=0)
 
-                return jax.vmap(one)(ii, jj, cond_map, cond_noise_in, sample_noise_in)
+            return jax.vmap(one)(ii, jj, cond_map, cond_noise_in, sample_noise_in)
 
-            return coarse_prog
+        prog_key = ("coarse", tuple(self.kwargs["cond_snr"]),
+                    tuple(self.kwargs["coarse_means"]),
+                    tuple(self.kwargs["coarse_stds"]),
+                    pool, pool_modes, dt.__name__, threefry)
+        coarse_prog = self._prog(prog_key, lambda: jax.jit(core))
 
-        coarse_prog = self._prog(
-            ("coarse", tuple(self.kwargs["cond_snr"]),
-             tuple(self.kwargs["coarse_means"]), tuple(self.kwargs["coarse_stds"]),
-             pool, pool_modes, dt.__name__, threefry), build_prog)
+        def build_fused():
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def fused(out_atlas, out_slots, ii, jj, cond_map, cns, sns,
+                      seed_cond, seed_samp, mparams):
+                outs = core(ii, jj, cond_map, cns, sns, seed_cond, seed_samp,
+                            mparams)
+                return out_atlas.at[out_slots].set(outs)
 
-        def f(ctxs):
-            B = len(ctxs)
-            if self.log_mode == "verbose":
-                print(f"Coarse f batch {B} at {[tuple(c) for c in ctxs]}")
+            return fused
+
+        coarse_fused = self._prog(prog_key + ("fused",), build_fused)
+
+        def _prep(ctxs):
             seed = self.seed
             conds, cns, sns = [], [], []
             i1s, j1s = [], []
@@ -630,18 +638,30 @@ class WorldPipeline:
                 else:
                     cns.append(self._noise_host(seed, i1, j1, TILE, TILE, 5, TILE))
                     sns.append(self._noise_host(seed + 1, i1, j1, TILE, TILE, 6, TILE))
+            return (np.asarray(i1s), np.asarray(j1s), np.stack(conds),
+                    np.stack(cns), np.stack(sns),
+                    seed_to_pair(seed), seed_to_pair(seed + 1))
+
+        def f(ctxs):
+            if self.log_mode == "verbose":
+                print(f"Coarse f batch {len(ctxs)} at {[tuple(c) for c in ctxs]}")
+            ii, jj, conds, cns, sns, sc, ss = _prep(ctxs)
             return self._timed("coarse", lambda: coarse_prog(
-                self._shard_batch(np.asarray(i1s)),
-                self._shard_batch(np.asarray(j1s)),
-                self._shard_batch(np.stack(conds)),
-                self._shard_batch(np.stack(cns)),
-                self._shard_batch(np.stack(sns)),
-                seed_to_pair(seed), seed_to_pair(seed + 1),
-                self._replicated(params)))
+                self._shard_batch(ii), self._shard_batch(jj),
+                self._shard_batch(conds), self._shard_batch(cns),
+                self._shard_batch(sns), sc, ss, self._replicated(params)))
+
+        def f_fused(ctxs, out_atlas, out_slots, arg_views):
+            if self.log_mode == "verbose":
+                print(f"Coarse fused batch {len(ctxs)}")
+            ii, jj, conds, cns, sns, sc, ss = _prep(ctxs)
+            return self._timed("coarse", lambda: coarse_fused(
+                out_atlas, out_slots, ii, jj, conds, cns, sns, sc, ss, params))
 
         coarse_buckets = self._mesh_buckets((1, 2, 4, 8, 16, 32))
         return InfiniteTensor(
             shape=(7, None, None), f=f,
+            f_fused=f_fused if self.mesh is None else None,
             output_window=TensorWindow((7, TILE // pool, TILE // pool),
                                        (7, STRIDE // pool, STRIDE // pool)),
             batch_size=coarse_buckets[-1], vectorized=True,
@@ -652,12 +672,14 @@ class WorldPipeline:
     # ==================================================================
     # Latent stage
     # ==================================================================
-    def _latent_program(self, t_value: float, seed_offset: int, with_prev: bool):
+    def _latent_core(self):
+        """Traceable latent-phase core: (t_value, with_prev) are python
+        closure-time switches; everything else is traced."""
         TILE, STRIDE = 64, 32
         cfg = EDMSchedulerConfig(sigma_min=0.002, sigma_max=80, sigma_data=0.5)
         sd = cfg.sigma_data
         hist_raw = np.asarray(self.kwargs["histogram_raw"], np.float32)
-        model, params = self.base_model, self.base_params
+        model = self.base_model
         dt = self._dtype
         threefry = self.noise_mode == "threefry"
 
@@ -688,79 +710,128 @@ class WorldPipeline:
                 [means_crop, p5_crop, climate, mask_crop,
                  jnp.asarray(hist_raw), noise_level_norm], axis=0)
 
-        def build_prog():
-            @jax.jit
-            def prog(ctx_i, ctx_j, coarse_regions, prev_regions, noise_in,
-                     seed_pair, mparams):
-                def one(ci, cj, coarse_region, prev_region, z_in):
-                    if with_prev:
-                        prev = prev_region[:-1] / prev_region[-1:] * sd  # (5,64,64)
-                    else:
-                        prev = jnp.zeros((5, TILE, TILE), jnp.float32)
-                    cond_vec = build_cond(coarse_region)
-                    if threefry:
-                        z = self._noise_in_program(seed_pair, ci * STRIDE,
-                                                   cj * STRIDE, TILE, TILE, 5, TILE)
-                    else:
-                        z = z_in
-                    t = jnp.float32(t_value)
-                    x_t = jnp.cos(t) * prev + jnp.sin(t) * (z * sd)
-                    model_in = x_t / sd
-                    return x_t, model_in, cond_vec
-
-                x_ts, model_ins, cond_vecs = jax.vmap(one)(
-                    ctx_i, ctx_j, coarse_regions, prev_regions, noise_in)
-                B = model_ins.shape[0]
-                x_in = jnp.transpose(model_ins, (0, 2, 3, 1)).astype(dt)  # NHWC
-                t = jnp.float32(t_value)
-                nl = jnp.full((B,), t, dtype=dt)
-                pred = -model.apply(mparams, x_in, nl, [cond_vecs.astype(dt)],
-                                    compute_dtype=dt)
-                pred = jnp.transpose(pred, (0, 3, 1, 2)).astype(jnp.float32)
-                sample = jnp.cos(t) * x_ts - jnp.sin(t) * sd * pred
-                sample = sample / sd
-                wwin = jnp.asarray(linear_weight_window(TILE))
-                return jnp.concatenate(
-                    [sample * wwin[None, None], jnp.broadcast_to(wwin, (B, 1, TILE, TILE))],
-                    axis=1)
-
-            return prog
-
-        prog = self._prog(
-            ("latent", float(t_value), bool(with_prev), tuple(hist_raw.tolist()),
-             dt.__name__, threefry), build_prog)
-
-        def make_f():
-            def f(ctxs, *regions):
-                B = len(ctxs)
-                if self.log_mode == "verbose":
-                    print(f"Latent f ({'step' if with_prev else 'init'}) batch {B}")
-                seed = self.seed
+        def core(t_value, with_prev, ctx_i, ctx_j, coarse_regions,
+                 prev_regions, noise_in, seed_pair, mparams):
+            """One TrigFlow consistency step on a batch of latent tiles —
+            shared by the standalone programs, the fused (assembly + compute
+            + scatter) programs, and the T=1 in-program chain."""
+            def one(ci, cj, coarse_region, prev_region, z_in):
                 if with_prev:
-                    prevs, coarses = regions
+                    prev = prev_region[:-1] / prev_region[-1:] * sd  # (5,64,64)
                 else:
-                    (coarses,) = regions
-                    # prev_region is traced out when with_prev=False
-                    prevs = np.zeros((B, 6, 1, 1), np.float32)
+                    prev = jnp.zeros((5, TILE, TILE), jnp.float32)
+                cond_vec = build_cond(coarse_region)
                 if threefry:
-                    noise = np.zeros((B, 1, 1, 1), np.float32)
+                    z = self._noise_in_program(seed_pair, ci * STRIDE,
+                                               cj * STRIDE, TILE, TILE, 5, TILE)
                 else:
-                    noise = np.stack([
-                        self._noise_host(seed + seed_offset, int(c[1]) * STRIDE,
-                                         int(c[2]) * STRIDE, TILE, TILE, 5, TILE)
-                        for c in ctxs])
-                stage = "latent_step" if with_prev else "latent_init"
-                return self._timed(stage, lambda: prog(
-                    self._shard_batch(np.ascontiguousarray(ctxs[:, 1])),
-                    self._shard_batch(np.ascontiguousarray(ctxs[:, 2])),
-                    self._shard_batch(coarses),
-                    self._shard_batch(prevs),
-                    self._shard_batch(np.asarray(noise)),
-                    seed_to_pair(seed + seed_offset),
-                    self._replicated(params)))
-            return f
+                    z = z_in
+                t = jnp.float32(t_value)
+                x_t = jnp.cos(t) * prev + jnp.sin(t) * (z * sd)
+                model_in = x_t / sd
+                return x_t, model_in, cond_vec
 
-        return make_f()
+            x_ts, model_ins, cond_vecs = jax.vmap(one)(
+                ctx_i, ctx_j, coarse_regions, prev_regions, noise_in)
+            B = model_ins.shape[0]
+            x_in = jnp.transpose(model_ins, (0, 2, 3, 1)).astype(dt)  # NHWC
+            t = jnp.float32(t_value)
+            nl = jnp.full((B,), t, dtype=dt)
+            pred = -model.apply(mparams, x_in, nl, [cond_vecs.astype(dt)],
+                                compute_dtype=dt)
+            pred = jnp.transpose(pred, (0, 3, 1, 2)).astype(jnp.float32)
+            sample = jnp.cos(t) * x_ts - jnp.sin(t) * sd * pred
+            sample = sample / sd
+            wwin = jnp.asarray(linear_weight_window(TILE))
+            return jnp.concatenate(
+                [sample * wwin[None, None], jnp.broadcast_to(wwin, (B, 1, TILE, TILE))],
+                axis=1)
+
+        return core
+
+    def _latent_program(self, t_value: float, seed_offset: int, with_prev: bool):
+        """(f, f_fused) pair for one latent phase tensor."""
+        TILE, STRIDE = 64, 32
+        core = self._latent_core()
+        model, params = self.base_model, self.base_params
+        threefry = self.noise_mode == "threefry"
+        hist_raw = tuple(np.asarray(self.kwargs["histogram_raw"], np.float32).tolist())
+        dt = self._dtype
+        key = ("latent", float(t_value), bool(with_prev), hist_raw,
+               dt.__name__, threefry)
+
+        prog = self._prog(key, lambda: jax.jit(functools.partial(
+            core, float(t_value), bool(with_prev))))
+
+        def build_fused():
+            tv, wp = float(t_value), bool(with_prev)
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def fused(out_atlas, out_slots, ctx_i, ctx_j, views, noise_in,
+                      seed_pair, mparams):
+                from terrain_diffusion_tpu.runtime.infinite_tensor import (
+                    assemble_from_atlas)
+
+                if wp:
+                    (p_atlas, p_slots, p_offs, p_valid), \
+                        (c_atlas, c_slots, c_offs, c_valid) = views
+                    prevs = assemble_from_atlas(p_atlas, p_slots, p_offs,
+                                                p_valid, (6, TILE, TILE))
+                else:
+                    ((c_atlas, c_slots, c_offs, c_valid),) = views
+                    prevs = jnp.zeros((ctx_i.shape[0], 6, 1, 1), jnp.float32)
+                coarses = assemble_from_atlas(c_atlas, c_slots, c_offs,
+                                              c_valid, (7, 4, 4))
+                outs = core(tv, wp, ctx_i, ctx_j, coarses, prevs, noise_in,
+                            seed_pair, mparams)
+                return out_atlas.at[out_slots].set(outs)
+
+            return fused
+
+        fused_prog = self._prog(key + ("fused",), build_fused)
+
+        def _noise_for(ctxs):
+            seed = self.seed
+            if threefry:
+                return (np.zeros((len(ctxs), 1, 1, 1), np.float32),
+                        seed_to_pair(seed + seed_offset))
+            return (np.stack([
+                self._noise_host(seed + seed_offset, int(c[1]) * STRIDE,
+                                 int(c[2]) * STRIDE, TILE, TILE, 5, TILE)
+                for c in ctxs]), seed_to_pair(seed + seed_offset))
+
+        stage = "latent_step" if with_prev else "latent_init"
+
+        def f(ctxs, *regions):
+            if self.log_mode == "verbose":
+                print(f"Latent f ({'step' if with_prev else 'init'}) batch {len(ctxs)}")
+            if with_prev:
+                prevs, coarses = regions
+            else:
+                (coarses,) = regions
+                # prev_region is traced out when with_prev=False
+                prevs = np.zeros((len(ctxs), 6, 1, 1), np.float32)
+            noise, spair = _noise_for(ctxs)
+            return self._timed(stage, lambda: prog(
+                self._shard_batch(np.ascontiguousarray(ctxs[:, 1])),
+                self._shard_batch(np.ascontiguousarray(ctxs[:, 2])),
+                self._shard_batch(coarses),
+                self._shard_batch(prevs),
+                self._shard_batch(np.asarray(noise)),
+                spair, self._replicated(params)))
+
+        def f_fused(ctxs, out_atlas, out_slots, arg_views):
+            if self.log_mode == "verbose":
+                print(f"Latent fused ({'step' if with_prev else 'init'}) "
+                      f"batch {len(ctxs)}")
+            noise, spair = _noise_for(ctxs)
+            return self._timed(stage, lambda: fused_prog(
+                out_atlas, out_slots,
+                np.ascontiguousarray(ctxs[:, 1]),
+                np.ascontiguousarray(ctxs[:, 2]),
+                arg_views, np.asarray(noise), spair, params))
+
+        return f, (f_fused if self.mesh is None else None)
 
     def _build_latent_stage(self):
         TILE, STRIDE = 64, 32
@@ -777,8 +848,8 @@ class WorldPipeline:
             # intermediate steps chained inside one window fn, so intermediate
             # latents are never blended across tiles (one fewer blend round).
             steps = [] if self.onestep_latent else T_INTER
-            init_f = self._latent_program(t_init, 5819, with_prev=False)
-            step_fs = [self._latent_program(t, 5820 + i, with_prev=True)
+            init_f, _ = self._latent_program(t_init, 5819, with_prev=False)
+            step_fs = [self._latent_program(t, 5820 + i, with_prev=True)[0]
                        for i, t in enumerate(steps)]
 
             def f_t1(ctxs, coarses):
@@ -788,16 +859,19 @@ class WorldPipeline:
                 return out
 
             return InfiniteTensor(
-                shape=(6, None, None), f=f_t1, output_window=out_win,
+                shape=(6, None, None), f=f_t1,
+                f_fused=self._latent_t1_fused(t_init, steps),
+                output_window=out_win,
                 args=(self.coarse,), args_windows=(coarse_win,),
                 batch_size=buckets[-1], vectorized=True,
                 batch_buckets=buckets, tile_store=self.tile_store,
                 tensor_id="latent_map_T1", device_cache_tiles=256,
                 defer_host=self._defer_host)
 
-        init_f = self._latent_program(t_init, 5819, with_prev=False)
+        init_f, init_fused = self._latent_program(t_init, 5819, with_prev=False)
         tensor = InfiniteTensor(
-            shape=(6, None, None), f=init_f, output_window=out_win,
+            shape=(6, None, None), f=init_f, f_fused=init_fused,
+            output_window=out_win,
             args=(self.coarse,), args_windows=(coarse_win,),
             batch_size=buckets[-1], vectorized=True,
             batch_buckets=buckets, tile_store=self.tile_store,
@@ -806,15 +880,79 @@ class WorldPipeline:
 
         if not self.onestep_latent:
             for i, t in enumerate(T_INTER):
-                step_f = self._latent_program(t, 5820 + i, with_prev=True)
+                step_f, step_fused = self._latent_program(t, 5820 + i,
+                                                          with_prev=True)
                 tensor = InfiniteTensor(
-                    shape=(6, None, None), f=step_f, output_window=out_win,
+                    shape=(6, None, None), f=step_f, f_fused=step_fused,
+                    output_window=out_win,
                     args=(tensor, self.coarse), args_windows=(out_win, coarse_win),
                     batch_size=buckets[-1], vectorized=True,
                     batch_buckets=buckets, tile_store=self.tile_store,
                     tensor_id=f"step_latent_map_{i}", device_cache_tiles=256,
                     defer_host=self._defer_host)
         return tensor
+
+    def _latent_t1_fused(self, t_init: float, steps):
+        """Fused T=1 chain: coarse assembly + init + all intermediate steps
+        + atlas scatter in ONE dispatch (intermediate latents stay in
+        registers/HBM, never blended — same semantics as the unfused f_t1
+        chain, one program instead of 1+len(steps))."""
+        if self.mesh is not None:
+            return None
+        TILE, STRIDE = 64, 32
+        core = self._latent_core()
+        params = self.base_params
+        threefry = self.noise_mode == "threefry"
+        hist_raw = tuple(np.asarray(self.kwargs["histogram_raw"], np.float32).tolist())
+        key = ("latent_t1_chain", float(t_init), tuple(float(t) for t in steps),
+               hist_raw, self._dtype.__name__, threefry)
+
+        def build():
+            ts = [float(t_init)] + [float(t) for t in steps]
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def fused(out_atlas, out_slots, ctx_i, ctx_j, views, noise_in,
+                      seed_pairs, mparams):
+                from terrain_diffusion_tpu.runtime.infinite_tensor import (
+                    assemble_from_atlas)
+
+                ((c_atlas, c_slots, c_offs, c_valid),) = views
+                coarses = assemble_from_atlas(c_atlas, c_slots, c_offs,
+                                              c_valid, (7, 4, 4))
+                prevs = jnp.zeros((ctx_i.shape[0], 6, 1, 1), jnp.float32)
+                out = core(ts[0], False, ctx_i, ctx_j, coarses, prevs,
+                           noise_in[:, 0], seed_pairs[0], mparams)
+                for si, t in enumerate(ts[1:]):
+                    out = core(t, True, ctx_i, ctx_j, coarses, out,
+                               noise_in[:, si + 1], seed_pairs[si + 1],
+                               mparams)
+                return out_atlas.at[out_slots].set(out)
+
+            return fused
+
+        fused_prog = self._prog(key, build)
+        offsets = [5819] + [5820 + i for i in range(len(steps))]
+
+        def f_fused(ctxs, out_atlas, out_slots, arg_views):
+            if self.log_mode == "verbose":
+                print(f"Latent T1 fused batch {len(ctxs)}")
+            seed = self.seed
+            if threefry:
+                noise = np.zeros((len(ctxs), len(offsets), 1, 1, 1), np.float32)
+            else:
+                noise = np.stack([
+                    np.stack([self._noise_host(seed + off, int(c[1]) * STRIDE,
+                                               int(c[2]) * STRIDE, TILE, TILE,
+                                               5, TILE) for off in offsets])
+                    for c in ctxs])
+            seed_pairs = np.stack([seed_to_pair(seed + off) for off in offsets])
+            return self._timed("latent_t1", lambda: fused_prog(
+                out_atlas, out_slots,
+                np.ascontiguousarray(ctxs[:, 1]),
+                np.ascontiguousarray(ctxs[:, 2]),
+                arg_views, noise, seed_pairs, params))
+
+        return f_fused
 
     # ==================================================================
     # Decoder stage
@@ -832,47 +970,59 @@ class WorldPipeline:
         dt = self._dtype
         threefry = self.noise_mode == "threefry"
 
-        def build_prog():
-            @jax.jit
-            def prog(ctx_i, ctx_j, latents_regions, noise_in, seed_pairs, mparams):
-                # seed_pairs: (len(t_list), 2) uint32 traced per-step seeds
-                def one(ci, cj, latents_region, z_in):
-                    lat = (latents_region[:-1] / latents_region[-1:])[:4]
-                    up = upsample_nearest(lat, lc)  # (4, TILE, TILE)
-                    sample = jnp.zeros((1, TILE, TILE), jnp.float32)
-                    for step, t_val in enumerate(t_list):
-                        if threefry:
-                            z = self._noise_in_program(seed_pairs[step], ci * STRIDE,
-                                                       cj * STRIDE, TILE, TILE, 1, TILE)
-                        else:
-                            z = z_in[step]
-                        t = jnp.float32(t_val)
-                        x_t = jnp.cos(t) * sample + jnp.sin(t) * (z * sd)
-                        model_in = jnp.concatenate([x_t / sd, up], axis=0)  # (5,T,T)
-                        x_in = jnp.transpose(model_in, (1, 2, 0))[None].astype(dt)
-                        pred = -model.apply(mparams, x_in, jnp.full((1,), t, dtype=dt),
-                                            [], compute_dtype=dt)
-                        pred = jnp.transpose(pred[0], (2, 0, 1)).astype(jnp.float32)
-                        sample = jnp.cos(t) * x_t - jnp.sin(t) * sd * pred
-                    sample = sample / sd
-                    wwin = jnp.asarray(wwin_np)
-                    return jnp.concatenate([sample * wwin[None], wwin[None]], axis=0)
+        def core(ctx_i, ctx_j, latents_regions, noise_in, seed_pairs, mparams):
+            # seed_pairs: (len(t_list), 2) uint32 traced per-step seeds
+            def one(ci, cj, latents_region, z_in):
+                lat = (latents_region[:-1] / latents_region[-1:])[:4]
+                up = upsample_nearest(lat, lc)  # (4, TILE, TILE)
+                sample = jnp.zeros((1, TILE, TILE), jnp.float32)
+                for step, t_val in enumerate(t_list):
+                    if threefry:
+                        z = self._noise_in_program(seed_pairs[step], ci * STRIDE,
+                                                   cj * STRIDE, TILE, TILE, 1, TILE)
+                    else:
+                        z = z_in[step]
+                    t = jnp.float32(t_val)
+                    x_t = jnp.cos(t) * sample + jnp.sin(t) * (z * sd)
+                    model_in = jnp.concatenate([x_t / sd, up], axis=0)  # (5,T,T)
+                    x_in = jnp.transpose(model_in, (1, 2, 0))[None].astype(dt)
+                    pred = -model.apply(mparams, x_in, jnp.full((1,), t, dtype=dt),
+                                        [], compute_dtype=dt)
+                    pred = jnp.transpose(pred[0], (2, 0, 1)).astype(jnp.float32)
+                    sample = jnp.cos(t) * x_t - jnp.sin(t) * sd * pred
+                sample = sample / sd
+                wwin = jnp.asarray(wwin_np)
+                return jnp.concatenate([sample * wwin[None], wwin[None]], axis=0)
 
-                return jax.vmap(one)(ctx_i, ctx_j, latents_regions, noise_in)
+            return jax.vmap(one)(ctx_i, ctx_j, latents_regions, noise_in)
 
-            return prog
+        prog_key = ("decoder", tuple(t_list), TILE, STRIDE, lc, dt.__name__,
+                    threefry)
+        prog = self._prog(prog_key, lambda: jax.jit(core))
 
-        prog = self._prog(
-            ("decoder", tuple(t_list), TILE, STRIDE, lc, dt.__name__, threefry),
-            build_prog)
+        def build_fused():
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def fused(out_atlas, out_slots, ctx_i, ctx_j, views, noise_in,
+                      seed_pairs, mparams):
+                from terrain_diffusion_tpu.runtime.infinite_tensor import (
+                    assemble_from_atlas)
 
-        def f(ctxs, latents_regions):
-            B = len(ctxs)
-            if self.log_mode == "verbose":
-                print(f"Residual f batch {B} at {[tuple(c) for c in ctxs]}")
+                ((l_atlas, l_slots, l_offs, l_valid),) = views
+                regions = assemble_from_atlas(
+                    l_atlas, l_slots, l_offs, l_valid,
+                    (6, TILE // lc, TILE // lc))
+                outs = core(ctx_i, ctx_j, regions, noise_in, seed_pairs,
+                            mparams)
+                return out_atlas.at[out_slots].set(outs)
+
+            return fused
+
+        fused_prog = self._prog(prog_key + ("fused",), build_fused)
+
+        def _noise_for(ctxs):
             seed = self.seed
             if threefry:
-                noise = np.zeros((B, len(t_list), 1, 1, 1), np.float32)
+                noise = np.zeros((len(ctxs), len(t_list), 1, 1, 1), np.float32)
             else:
                 noise = np.stack([
                     np.stack([
@@ -882,6 +1032,12 @@ class WorldPipeline:
                     for c in ctxs])
             seed_pairs = np.stack([seed_to_pair(seed + 5819 + s)
                                    for s in range(len(t_list))])
+            return noise, seed_pairs
+
+        def f(ctxs, latents_regions):
+            if self.log_mode == "verbose":
+                print(f"Residual f batch {len(ctxs)} at {[tuple(c) for c in ctxs]}")
+            noise, seed_pairs = _noise_for(ctxs)
             return self._timed("decoder", lambda: prog(
                 self._shard_batch(np.ascontiguousarray(ctxs[:, 1])),
                 self._shard_batch(np.ascontiguousarray(ctxs[:, 2])),
@@ -890,12 +1046,24 @@ class WorldPipeline:
                 seed_pairs,
                 self._replicated(params)))
 
+        def f_fused(ctxs, out_atlas, out_slots, arg_views):
+            if self.log_mode == "verbose":
+                print(f"Residual fused batch {len(ctxs)}")
+            noise, seed_pairs = _noise_for(ctxs)
+            return self._timed("decoder", lambda: fused_prog(
+                out_atlas, out_slots,
+                np.ascontiguousarray(ctxs[:, 1]),
+                np.ascontiguousarray(ctxs[:, 2]),
+                arg_views, noise, seed_pairs, params))
+
         out_win = TensorWindow((2, TILE, TILE), (2, STRIDE, STRIDE))
         in_win = TensorWindow((6, TILE // lc, TILE // lc),
                               (6, STRIDE // lc, STRIDE // lc))
         dec_buckets = self._mesh_buckets((1, 2, 4, 8))
         return InfiniteTensor(
-            shape=(2, None, None), f=f, output_window=out_win,
+            shape=(2, None, None), f=f,
+            f_fused=f_fused if self.mesh is None else None,
+            output_window=out_win,
             args=(self.latents,), args_windows=(in_win,),
             batch_size=dec_buckets[-1], vectorized=True,
             batch_buckets=dec_buckets,
@@ -1024,8 +1192,124 @@ class WorldPipeline:
             jnp.asarray(v, dtype=jnp.float32), jnp.asarray(elev))
         return np.asarray(climate, dtype=np.float32)
 
+    def _compose_fused_core(self, with_climate: bool):
+        """ONE jitted program for the whole output composition: assemble the
+        residual/latents[/coarse] regions straight from the stage atlases
+        (traced geometry), laplacian denoise+decode + signed square, and the
+        climate regression + grid-sample — a single dispatch replacing the
+        5-dispatch read_device/elev_core/climate_core chain."""
+        RES_MEAN = self.kwargs["residual_mean"]
+        RES_STD = self.kwargs["residual_std"]
+        win = 15
+
+        def build():
+            from terrain_diffusion_tpu.runtime.infinite_tensor import (
+                assemble_from_atlas)
+
+            @functools.partial(jax.jit, static_argnames=(
+                "res_shape", "lat_shape", "coarse_shape", "h", "w", "S"))
+            def compose(res_view, lat_view, coarse_view, oi, oj, i1, j1,
+                        ci1, cj1, *, res_shape, lat_shape, coarse_shape,
+                        h, w, S):
+                residual_init = assemble_from_atlas(*res_view, res_shape)[0]
+                latents_init = assemble_from_atlas(*lat_view, lat_shape)[0]
+                residual_p = (residual_init[0] / residual_init[1]) * RES_STD + RES_MEAN
+                latents_norm = latents_init[:-1] / latents_init[-1:]
+                lowfreq_p = latents_norm[4] * LOWFREQ_STD + LOWFREQ_MEAN
+                r, l = laplacian_denoise(residual_p[None], lowfreq_p[None], sigma=5)
+                elev_p = laplacian_decode(r, l)[0]
+                elev = signed_square(
+                    jax.lax.dynamic_slice(elev_p, (oi, oj), (h, w)))
+                if not with_climate:
+                    return elev, None
+                coarse_init = assemble_from_atlas(*coarse_view, coarse_shape)[0]
+                coarse_map = coarse_init[:-1] / coarse_init[-1:]
+                coarse_elev = jnp.sign(coarse_map[0]) * jnp.square(
+                    jnp.maximum(0.0, coarse_map[0]))
+                temp_baseline, beta = local_baseline_temperature(
+                    coarse_map[2], coarse_elev, win=win, fallback_threshold=0.02)
+                central = coarse_map[:, win // 2:-(win // 2), win // 2:-(win // 2)]
+                H_src = temp_baseline.shape[-2]
+                W_src = temp_baseline.shape[-1]
+                # sampling grid built in-program from traced offsets (the
+                # host used to upload two (H, W) f32 meshgrids per query)
+                ii = (i1 + jnp.arange(h, dtype=jnp.float32))[:, None]
+                jj = (j1 + jnp.arange(w, dtype=jnp.float32))[None, :]
+                u = (ii + 0.5) / S - ci1 + 0.5
+                v = (jj + 0.5) / S - cj1 + 0.5
+                u = jnp.broadcast_to(u, (h, w))
+                v = jnp.broadcast_to(v, (h, w))
+                grid_y = (u + 0.5) * 2 / H_src - 1
+                grid_x = (v + 0.5) * 2 / W_src - 1
+                grid = jnp.stack([grid_x, grid_y], axis=-1)
+                features = jnp.concatenate(
+                    [temp_baseline[None], beta[None], central], axis=0)
+                feats_up = grid_sample_bilinear(features, grid)
+                temp_realistic = feats_up[0] + feats_up[1] * jnp.maximum(elev, 0.0)
+                climate = jnp.stack([temp_realistic, feats_up[2 + 3],
+                                     feats_up[2 + 4], feats_up[2 + 5],
+                                     feats_up[1]])
+                return elev, climate
+
+            return compose
+
+        return self._prog(("compose_fused", float(RES_MEAN), float(RES_STD),
+                           win, with_climate), build)
+
+    def _compose_fused(self, i1, j1, i2, j2, with_climate: bool):
+        """(elev_dev, climate_dev | None) in one dispatch, or None when a
+        needed window is not device-resident (fallback: unfused path)."""
+        from terrain_diffusion_tpu.runtime.infinite_tensor import (
+            _traced_geometry)
+
+        scale = self.latent_compression
+        res_ranges, lat_ranges, pi1, pj1 = self._elev_ranges(
+            i1, j1, i2, j2, scale)
+        S = 32 * scale
+        needed = [(self.residual, res_ranges), (self.latents, lat_ranges)]
+        if with_climate:
+            needed.append((self.coarse,
+                           self._climate_ranges(i1, j1, i2, j2, scale)))
+        views, shapes = [], []
+        for tensor, ranges in needed:
+            if tensor.device_cache is None:
+                return None
+            geo = _traced_geometry(tensor.output_window, [tuple(ranges)],
+                                   tensor.device_cache.slot)
+            if geo is None:
+                return None
+            slots, offs, valid, _K = geo
+            views.append((tensor.device_cache._atlas, slots, offs, valid))
+            shapes.append(tuple(b - a for a, b in ranges))
+        if not with_climate:
+            views.append(None)
+            shapes.append(None)
+        compose = self._compose_fused_core(with_climate)
+        return compose(
+            views[0], views[1], views[2], jnp.int32(i1 - pi1),
+            jnp.int32(j1 - pj1), jnp.int32(i1), jnp.int32(j1),
+            jnp.int32(i1 // S), jnp.int32(j1 // S),
+            res_shape=shapes[0], lat_shape=shapes[1], coarse_shape=shapes[2],
+            h=i2 - i1, w=j2 - j1, S=S)
+
     def get(self, i1, j1, i2, j2, with_climate: bool = True) -> dict:
         """Terrain for bounding box: elev (H, W) meters [+ climate (5, H, W)]."""
+        # make every needed window resident, then try the single-dispatch
+        # fused composition; fall back to the staged path (host tile store,
+        # partial device residency)
+        self._timed("prefetch", lambda: self.prefetch(
+            [(i1, j1, i2, j2)], with_climate))
+        fused = self._timed("compose", lambda: self._compose_fused(
+            i1, j1, i2, j2, with_climate))
+        if fused is not None:
+            elev_dev, climate_dev = fused
+            out = self._timed("fetch", lambda: jax.device_get(
+                (elev_dev, climate_dev) if climate_dev is not None
+                else (elev_dev,)))
+            elev = np.asarray(out[0], dtype=np.float32)
+            climate = (np.asarray(out[1], dtype=np.float32)
+                       if with_climate else None)
+            return {"elev": elev, "climate": climate}
         elev_dev = self._timed("compose_elev", lambda: self._compute_elev(
             i1, j1, i2, j2, scale=self.latent_compression))
         climate = (self._timed("compose_climate", lambda: self._compute_climate(

@@ -78,10 +78,10 @@ class DeviceTileAtlas:
             self._slots.move_to_end(tuple(idx))
         return st
 
-    def put_batch(self, idxs, batch):
-        """Scatter rows 0..len(idxs)-1 of a stage batch into the pool —
-        one device dispatch regardless of batch size."""
-        self._ensure(tuple(batch.shape[1:]))
+    def reserve(self, idxs, row_shape) -> np.ndarray:
+        """Assign (LRU-evicting) slots for `idxs` without writing — the
+        fused-program path scatters into them inside the stage dispatch."""
+        self._ensure(tuple(row_shape))
         slots = []
         for idx in idxs:
             k = tuple(idx)
@@ -90,8 +90,14 @@ class DeviceTileAtlas:
                 st = self._free.pop() if self._free else self._slots.popitem(last=False)[1]
             self._slots[k] = st
             slots.append(st)
+        return np.asarray(slots, np.int32)
+
+    def put_batch(self, idxs, batch):
+        """Scatter rows 0..len(idxs)-1 of a stage batch into the pool —
+        one device dispatch regardless of batch size."""
+        slots = self.reserve(idxs, tuple(batch.shape[1:]))
         fn = _atlas_write_fn(self._atlas.shape, tuple(batch.shape), len(idxs))
-        self._atlas = fn(self._atlas, np.asarray(slots, np.int32), batch)
+        self._atlas = fn(self._atlas, slots, batch)
 
     def fetch_rows(self, slots) -> np.ndarray:
         """Device-gather the given slots and download them in ONE transfer
@@ -143,48 +149,56 @@ def _next_pow2(n: int) -> int:
     return k
 
 
-@functools.lru_cache(maxsize=128)
-def _traced_assemble_fn(B: int, K: int, tile_shape: tuple, region_shape: tuple):
-    """Assembly program with TRACED geometry.
+def assemble_from_atlas(atlas, slots, offs, valid, region_shape: tuple):
+    """Traced-geometry window assembly, usable INSIDE any jitted program.
 
-    Sums up to K atlas tiles into each of B regions.  Which tiles (slots),
-    where they land (per-tile spatial offsets, possibly negative), and
-    whether a padded entry contributes (validity) all arrive as *data* — so
-    ONE compiled program serves every query alignment.  The earlier design
-    baked per-window (dst, src, size) specs into the HLO, which forced a
-    remote XLA compile for every previously-unseen alignment and dominated
-    cold-query latency on remote-compile backends.
-
-    Mechanics: each region is assembled on a canvas padded by one tile size
-    per side; every tile is added with a fixed-size dynamic-slice
-    read-modify-write at its traced offset, then the canvas center is
-    cropped.  Cropping of tiles that only partially overlap the region falls
-    out of the canvas crop.  Summation order is the caller's slot order
-    (sorted window index), keeping accumulation bit-deterministic.
+    Sums up to K atlas tiles into each of B regions ((B, K)-shaped slots /
+    (B, K, 2) offsets / (B, K) validity, all traced data — ONE compiled
+    program serves every query alignment).  Each region is assembled on a
+    canvas padded by one tile size per side; every tile is added with a
+    fixed-size dynamic-slice read-modify-write at its traced offset, then
+    the canvas center is cropped (partial overlaps fall out of the crop).
+    Summation order is the caller's slot order (sorted window index), so
+    accumulation stays bit-deterministic.
     """
     import jax
     import jax.numpy as jnp
 
-    C, th, tw = tile_shape
+    C, th, tw = atlas.shape[1:]
     rc, rh, rw = region_shape
-    assert rc == C, (tile_shape, region_shape)
+    assert rc == C, (atlas.shape, region_shape)
+    K = slots.shape[1]
+
+    def one(slots_k, offs_k, valid_k):
+        canvas = jnp.zeros((C, rh + 2 * th, rw + 2 * tw), jnp.float32)
+
+        def body(i, cv):
+            tile = atlas[slots_k[i]] * valid_k[i]
+            oy = offs_k[i, 0] + th
+            ox = offs_k[i, 1] + tw
+            cur = jax.lax.dynamic_slice(cv, (0, oy, ox), (C, th, tw))
+            return jax.lax.dynamic_update_slice(cv, cur + tile, (0, oy, ox))
+
+        canvas = jax.lax.fori_loop(0, K, body, canvas)
+        return canvas[:, th : th + rh, tw : tw + rw]
+
+    return jax.vmap(one)(slots, offs, valid)
+
+
+@functools.lru_cache(maxsize=128)
+def _traced_assemble_fn(B: int, K: int, tile_shape: tuple, region_shape: tuple):
+    """Standalone jitted wrapper around `assemble_from_atlas` (host-initiated
+    assembly: read_device / parent-region stacking on the unfused path).
+
+    The earlier design baked per-window (dst, src, size) specs into the
+    HLO, which forced a remote XLA compile for every previously-unseen
+    alignment and dominated cold-query latency on remote-compile backends.
+    """
+    import jax
 
     @jax.jit
     def run(atlas, slots, offs, valid):
-        def one(slots_k, offs_k, valid_k):
-            canvas = jnp.zeros((C, rh + 2 * th, rw + 2 * tw), jnp.float32)
-
-            def body(i, cv):
-                tile = atlas[slots_k[i]] * valid_k[i]
-                oy = offs_k[i, 0] + th
-                ox = offs_k[i, 1] + tw
-                cur = jax.lax.dynamic_slice(cv, (0, oy, ox), (C, th, tw))
-                return jax.lax.dynamic_update_slice(cv, cur + tile, (0, oy, ox))
-
-            canvas = jax.lax.fori_loop(0, K, body, canvas)
-            return canvas[:, th : th + rh, tw : tw + rw]
-
-        return jax.vmap(one)(slots, offs, valid)
+        return assemble_from_atlas(atlas, slots, offs, valid, region_shape)
 
     return run
 
@@ -237,6 +251,7 @@ class InfiniteTensor:
         batch_buckets: tuple | None = None,
         device_cache_tiles: int = 0,
         defer_host: bool = False,
+        f_fused=None,
     ):
         global _AUTO_ID
         self.shape = tuple(shape)
@@ -272,6 +287,12 @@ class InfiniteTensor:
         # non-persistent store (an evicted never-downloaded tile is simply
         # recomputed); callers gate this on the in-memory caching strategy.
         self.defer_host = bool(defer_host) and self.device_cache is not None
+        # f_fused(ctxs, out_atlas, out_slots, arg_views) -> new out_atlas:
+        # ONE dispatch doing parent-window assembly + stage compute + atlas
+        # scatter (arg_views are (atlas, slots, offs, valid) per arg, all
+        # traced data).  Used when every parent window is device-resident
+        # and host copies are deferred; otherwise the unfused path runs.
+        self.f_fused = f_fused if self.defer_host else None
 
     # ------------------------------------------------------------------
     # Public API
@@ -407,7 +428,37 @@ class InfiniteTensor:
                 return b
         return self.batch_buckets[-1]
 
+    def _evaluate_fused(self, chunk) -> bool:
+        """One-dispatch evaluation: assemble parent regions from their
+        atlases, run the stage core, and scatter outputs into this tensor's
+        atlas — all inside self.f_fused.  Returns False (caller falls back)
+        unless every parent window of the chunk is device-resident."""
+        bucket = self._pick_bucket(len(chunk))
+        pad = bucket - len(chunk)
+        padded = list(chunk) + [chunk[-1]] * pad
+        arg_views = []
+        for a, win in zip(self.args, self.args_windows):
+            if a.device_cache is None:
+                return False
+            boxes = [win.box(idx) for idx in padded]
+            geo = _traced_geometry(a.output_window, boxes, a.device_cache.slot)
+            if geo is None:
+                return False
+            slots, offs, valid, _K = geo
+            arg_views.append((a.device_cache._atlas, slots, offs, valid))
+        ctxs = np.asarray(padded, dtype=np.int64)
+        out_slots = self.device_cache.reserve(
+            chunk, tuple(self.output_window.size))
+        # padded rows re-write the last real row's slot with the same value
+        out_slots = np.concatenate(
+            [out_slots, np.repeat(out_slots[-1:], pad)]).astype(np.int32)
+        self.device_cache._atlas = self.f_fused(
+            ctxs, self.device_cache._atlas, out_slots, arg_views)
+        return True
+
     def _evaluate_chunk(self, chunk):
+        if self.f_fused is not None and self._evaluate_fused(chunk):
+            return
         if self.vectorized:
             bucket = self._pick_bucket(len(chunk))
             pad = bucket - len(chunk)

@@ -181,6 +181,37 @@ def test_get_many_coalesces_and_matches_sequential(models):
     assert co_calls < seq_calls, (co_calls, seq_calls)
 
 
+def test_fused_stage_and_composition_path(models):
+    """Default (direct-caching, single-device) serving runs the fused
+    one-dispatch-per-stage programs + single-dispatch composition; results
+    match the unfused staged path and stay bit-deterministic."""
+    p = _make_pipe(models)
+    p.bind()
+    assert p.residual.f_fused is not None and p.latents.f_fused is not None
+    a = p.get(0, 0, 24, 24)
+    # fused composition was taken (staged timers untouched)
+    assert p.stage_timings.get("compose", [0])[0] >= 1
+    assert "compose_elev" not in p.stage_timings
+    b = p.get(0, 0, 24, 24)
+    np.testing.assert_array_equal(a["elev"], b["elev"])
+    np.testing.assert_array_equal(a["climate"], b["climate"])
+
+    # unfused staged fallback agrees within executable-level ulp tolerance
+    q = _make_pipe(models)
+    q.bind()
+    for t in (q.coarse, q.latents, q.residual):
+        t.f_fused = None
+    q._compose_fused = lambda *args, **kw: None
+    c = q.get(0, 0, 24, 24)
+    assert "compose_elev" in q.stage_timings  # fallback ran
+    np.testing.assert_allclose(a["elev"], c["elev"], rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(a["climate"], c["climate"], rtol=1e-5, atol=1e-4)
+
+    # with_climate=False fused path
+    d = p.get(8, 8, 24, 24, with_climate=False)
+    assert d["climate"] is None and d["elev"].shape == (16, 16)
+
+
 def test_mesh_tile_parallel(models):
     """Tile batches shard across the 8-device CPU mesh; results identical to
     the single-device pipeline."""
