@@ -1111,8 +1111,13 @@ class WorldPipeline:
 
         pi1 = ((i1 - pad_hr) // scale) * scale
         pj1 = ((j1 - pad_hr) // scale) * scale
-        pi2 = ceil_div(i2 + pad_hr, scale) * scale
-        pj2 = ceil_div(j2 + pad_hr, scale) * scale
+        # canonical region size for a given query SIZE (covers every
+        # alignment): composition programs then compile once per query
+        # shape instead of once per alignment-dependent padding variant
+        sh = ceil_div(i2 - i1 + 2 * pad_hr + scale - 1, scale) * scale
+        sw = ceil_div(j2 - j1 + 2 * pad_hr + scale - 1, scale) * scale
+        pi2 = pi1 + sh
+        pj2 = pj1 + sw
         res_ranges = [(0, 2), (pi1, pi2), (pj1, pj2)]
         lat_ranges = [(0, 6), (pi1 // scale, pi2 // scale),
                       (pj1 // scale, pj2 // scale)]
@@ -1127,7 +1132,9 @@ class WorldPipeline:
 
         S = 32 * scale
         ci1, cj1 = i1 // S, j1 // S
-        ci2, cj2 = ceil_div(i2, S), ceil_div(j2, S)
+        # canonical cell count for a given query size (see _elev_ranges)
+        ci2 = ci1 + ceil_div(i2 - i1 + S - 1, S)
+        cj2 = cj1 + ceil_div(j2 - j1 + S - 1, S)
         win = 15
         pad = (win - 1) // 2 + 1
         return [(0, 7), (ci1 - pad, ci2 + pad), (cj1 - pad, cj2 + pad)]

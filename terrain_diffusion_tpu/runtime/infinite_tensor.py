@@ -203,6 +203,19 @@ def _traced_assemble_fn(B: int, K: int, tile_shape: tuple, region_shape: tuple):
     return run
 
 
+def _static_k(window: TensorWindow, box) -> int:
+    """Compile-stable K: an analytic upper bound on how many windows can
+    overlap a region of this SHAPE at any alignment, pow2-padded.  Keeping K
+    a pure function of the region shape (never of the actual overlap count)
+    stops every new query alignment from minting a fresh program variant —
+    on remote-compile backends those variants dominated cold latency.  The
+    extra loop iterations add masked zero tiles (negligible vs the model)."""
+    k = 1
+    for (a, b), t, s in zip(box[1:], window.size[1:], window.stride[1:]):
+        k *= -((b - a + t) // -s)  # ceil((R + T) / S)
+    return _next_pow2(k)
+
+
 def _traced_geometry(window: TensorWindow, boxes, slot_of):
     """(slots, offs, valid, K) arrays for _traced_assemble_fn, or None if any
     needed window lacks a device slot.  Boxes must share one shape and span
@@ -222,7 +235,8 @@ def _traced_geometry(window: TensorWindow, boxes, slot_of):
             entries.append((st, wbox[1][0] - box[1][0], wbox[2][0] - box[2][0]))
         per_box.append(entries)
         k_max = max(k_max, len(entries))
-    K = _next_pow2(k_max)
+    K = _static_k(window, boxes[0])
+    assert k_max <= K, (k_max, K)
     B = len(boxes)
     slots = np.zeros((B, K), np.int32)
     offs = np.zeros((B, K, 2), np.int32)

@@ -87,6 +87,20 @@ def main():
         print(f"far tile {k}: {ttft[-1]:.2f}s", flush=True)
     results["ttft_mean_s"] = round(float(np.mean(ttft)), 3)
     results["ttft_all"] = [round(t, 3) for t in ttft]
+
+    # coalescing: 4 fresh tiles sequentially vs one get_many pass
+    base = 2_000_000
+    t0 = time.perf_counter()
+    for k in range(4):
+        pipe.get(base, base + k * 512, base + 512, base + (k + 1) * 512)
+    results["seq4_s"] = round(time.perf_counter() - t0, 3)
+    base = 3_000_000
+    t0 = time.perf_counter()
+    pipe.get_many([(base, base + k * 512, base + 512, base + (k + 1) * 512)
+                   for k in range(4)])
+    results["coalesced4_s"] = round(time.perf_counter() - t0, 3)
+    print(f"4 fresh tiles: sequential {results['seq4_s']}s vs "
+          f"coalesced {results['coalesced4_s']}s", flush=True)
     results["stage_timings"] = pipe.timing_summary()
 
     print(json.dumps(results, indent=2), flush=True)
