@@ -100,10 +100,18 @@ def load_torch_checkpoint(backbone_path: str, lins_path: str | None = None) -> d
     state = load(backbone_path)
     if lins_path:
         state.update(load(lins_path))
-    # accept lpips-package keying ("net.features.0.weight" or "net.slice...")
+    # accept lpips-package keying: "net.features.<i>.*" (torchvision dump)
+    # or "net.slice<k>.<i>.*" — the lpips package registers each torchvision
+    # layer under its ORIGINAL index inside sliceN, so dropping the sliceN
+    # segment recovers "features.<i>.*"
     rekeyed = {}
     for k, v in state.items():
-        rekeyed[k[len("net."):] if k.startswith("net.features") else k] = v
+        if k.startswith("net.features"):
+            k = k[len("net."):]
+        elif k.startswith("net.slice"):
+            idx_and_rest = k.split(".", 2)[2]  # "<i>.weight" etc.
+            k = "features." + idx_and_rest
+        rekeyed[k] = v
     return params_from_torch_state(rekeyed)
 
 

@@ -1215,9 +1215,8 @@ class WorldPipeline:
 
             @functools.partial(jax.jit, static_argnames=(
                 "res_shape", "lat_shape", "coarse_shape", "h", "w", "S"))
-            def compose(res_view, lat_view, coarse_view, oi, oj, i1, j1,
-                        ci1, cj1, *, res_shape, lat_shape, coarse_shape,
-                        h, w, S):
+            def compose(res_view, lat_view, coarse_view, oi, oj, di, dj,
+                        *, res_shape, lat_shape, coarse_shape, h, w, S):
                 residual_init = assemble_from_atlas(*res_view, res_shape)[0]
                 latents_init = assemble_from_atlas(*lat_view, lat_shape)[0]
                 residual_p = (residual_init[0] / residual_init[1]) * RES_STD + RES_MEAN
@@ -1239,11 +1238,13 @@ class WorldPipeline:
                 H_src = temp_baseline.shape[-2]
                 W_src = temp_baseline.shape[-1]
                 # sampling grid built in-program from traced offsets (the
-                # host used to upload two (H, W) f32 meshgrids per query)
-                ii = (i1 + jnp.arange(h, dtype=jnp.float32))[:, None]
-                jj = (j1 + jnp.arange(w, dtype=jnp.float32))[None, :]
-                u = (ii + 0.5) / S - ci1 + 0.5
-                v = (jj + 0.5) / S - cj1 + 0.5
+                # host used to upload two (H, W) f32 meshgrids per query).
+                # di/dj = i1 - ci1*S (small ints), so the f32 math is exact
+                # even at world coordinates far beyond 2^24
+                ii = (di + jnp.arange(h, dtype=jnp.float32))[:, None]
+                jj = (dj + jnp.arange(w, dtype=jnp.float32))[None, :]
+                u = (ii + 0.5) / S + 0.5
+                v = (jj + 0.5) / S + 0.5
                 u = jnp.broadcast_to(u, (h, w))
                 v = jnp.broadcast_to(v, (h, w))
                 grid_y = (u + 0.5) * 2 / H_src - 1
@@ -1294,8 +1295,8 @@ class WorldPipeline:
         compose = self._compose_fused_core(with_climate)
         return compose(
             views[0], views[1], views[2], jnp.int32(i1 - pi1),
-            jnp.int32(j1 - pj1), jnp.int32(i1), jnp.int32(j1),
-            jnp.int32(i1 // S), jnp.int32(j1 // S),
+            jnp.int32(j1 - pj1),
+            jnp.int32(i1 - (i1 // S) * S), jnp.int32(j1 - (j1 // S) * S),
             res_shape=shapes[0], lat_shape=shapes[1], coarse_shape=shapes[2],
             h=i2 - i1, w=j2 - j1, S=S)
 

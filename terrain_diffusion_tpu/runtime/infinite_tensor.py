@@ -81,6 +81,10 @@ class DeviceTileAtlas:
     def reserve(self, idxs, row_shape) -> np.ndarray:
         """Assign (LRU-evicting) slots for `idxs` without writing — the
         fused-program path scatters into them inside the stage dispatch."""
+        assert len(idxs) <= self.capacity, (
+            f"batch of {len(idxs)} windows exceeds the {self.capacity}-slot "
+            "atlas — raise device_cache_tiles above the largest batch bucket "
+            "(LRU wrap-around within one batch would silently alias slots)")
         self._ensure(tuple(row_shape))
         slots = []
         for idx in idxs:

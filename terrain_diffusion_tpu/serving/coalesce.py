@@ -76,17 +76,24 @@ class RequestCoalescer:
                     with_climate: bool = True) -> dict:
         job = _Job("terrain", ((int(i1), int(j1), int(i2), int(j2)),
                                bool(with_climate)))
-        self._queue.put(job)
+        self._submit(job)
         return job.wait()
 
     def run(self, fn):
         """Execute ``fn(world)`` solo on the worker thread; returns its
         result (exceptions re-raised in the caller)."""
         job = _Job("call", fn)
-        self._queue.put(job)
+        self._submit(job)
         return job.wait()
 
+    def _submit(self, job):
+        if self._closed:
+            raise RuntimeError("RequestCoalescer is closed")
+        self._queue.put(job)
+
     def close(self):
+        if self._closed:
+            return
         self._closed = True
         self._queue.put(_Job("stop", None))
         self._thread.join(timeout=5)
@@ -97,9 +104,6 @@ class RequestCoalescer:
     def _loop(self):
         while True:
             job = self._queue.get()
-            if job.kind == "stop":
-                job.finish()
-                return
             batch = [job]
             # Drain whatever else is already queued (no waiting): jobs that
             # arrived while the previous batch was generating coalesce now.
@@ -108,21 +112,30 @@ class RequestCoalescer:
                     batch.append(self._queue.get_nowait())
                 except queue.Empty:
                     break
-            self._process(batch)
+            if self._process(batch):  # a stop job was drained
+                return
 
-    def _process(self, batch):
-        # Mutating jobs first, in arrival order, each solo …
+    def _process(self, batch) -> bool:
+        """Run one drained batch; returns True when a stop job was seen
+        (AFTER serving every other job drained alongside it — they were
+        submitted before close())."""
+        stop = False
         terrain_jobs = []
+        # Mutating jobs first, in arrival order, each solo …
         for job in batch:
             if job.kind == "terrain":
                 terrain_jobs.append(job)
+                continue
+            if job.kind == "stop":
+                stop = True
+                job.finish()
                 continue
             try:
                 job.finish(result=job.payload(self.world))
             except Exception as e:  # noqa: BLE001 — reraised in the caller
                 job.finish(error=e)
         if not terrain_jobs:
-            return
+            return stop
         # … then all terrain queries as one coalesced generation pass.
         # with_climate=True superset-plans for mixed batches (harmless).
         queries = [j.payload[0] for j in terrain_jobs]
@@ -132,7 +145,7 @@ class RequestCoalescer:
         except Exception as e:  # noqa: BLE001
             for j in terrain_jobs:
                 j.finish(error=e)
-            return
+            return stop
         for j in terrain_jobs:
             (i1, j1_, i2, j2), with_climate = j.payload
             try:
@@ -140,6 +153,7 @@ class RequestCoalescer:
                                                with_climate=with_climate))
             except Exception as e:  # noqa: BLE001
                 j.finish(error=e)
+        return stop
 
 
 class CoalescedPipeline:

@@ -53,20 +53,6 @@ class SweepSpace:
                 out[name] = float(lo + u * (hi - lo))
         return out
 
-    def sample_near(self, center: dict, rng, shrink: float = 0.2) -> dict:
-        out = {}
-        for name in self.names:
-            lo, hi, log = self.spec[name]
-            c = center[name]
-            if log:
-                span = (np.log(hi) - np.log(lo)) * shrink
-                v = np.exp(np.log(c) + rng.normal() * span / 2)
-            else:
-                span = (hi - lo) * shrink
-                v = c + rng.normal() * span / 2
-            out[name] = float(np.clip(v, lo, hi))
-        return out
-
 
 class TPESampler:
     """Univariate Tree-structured Parzen Estimator (Optuna-shaped knobs)."""
@@ -145,8 +131,12 @@ class TPESampler:
 def prune_probability(cur_mean: float, cur_std: float, trials,
                       threshold: float) -> bool:
     """Reference pruning rule (`sweep_diffusion_base.py:99-117`): prune when
-    P(current < other) < threshold for ANY completed trial with a std."""
+    P(current < other) < threshold for ANY COMPLETED trial with a std.
+    Pruned trials carry low-budget noisy estimates and must not become
+    incumbents (the reference queries optuna states=(COMPLETE,) only)."""
     for t in trials:
+        if t.get("pruned"):
+            continue
         if t.get("value") is None or t.get("value_std") is None:
             continue
         denom = math.sqrt(cur_std**2 + float(t["value_std"]) ** 2)

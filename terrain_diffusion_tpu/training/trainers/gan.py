@@ -185,10 +185,11 @@ class GANTrainer(TrainerBase):
 
         def g_loss_fn(g_params, d_params, batch, key, pct_fixed, real_pred):
             real = batch["image"]
-            kg, kc = jax.random.split(key)
+            kg, _kc = jax.random.split(key)
             fake, gen_x = gen_forward(g_params, real, kg, pct_fixed)
-            fake_c = crop(kc, fake)
-            fake_pred = disc_pred(d_params, fake_c)
+            # the generator phase scores the UNCROPPED fakes (reference
+            # gan.py:278) — only the discriminator phase crops (:235-236)
+            fake_pred = disc_pred(d_params, fake)
             g_loss = jax.nn.softplus(
                 jax.lax.stop_gradient(real_pred) - fake_pred).mean()
             mean = gen_x.mean(axis=(0, 1, 2))

@@ -131,3 +131,35 @@ def test_api_threaded_mode_uses_coalesced_pipeline():
     out = p.get(0, 0, 4, 4)
     assert out["elev"].shape == (4, 4)
     api.configure()  # reset module state for other tests
+
+
+def test_close_races_with_inflight_jobs():
+    """A stop job drained into the same batch as terrain jobs must not be
+    executed as a callable; drained jobs still complete, the worker exits,
+    and post-close submissions fail fast instead of hanging."""
+    world = FakeWorld(prefetch_s=0.15)
+    c = RequestCoalescer(world, max_batch=16)
+    results, errors = {}, {}
+
+    def client(k):
+        try:
+            results[k] = c.get_terrain(k, 0, k + 4, 4)
+        except Exception as e:  # noqa: BLE001
+            errors[k] = e
+
+    threads = [threading.Thread(target=client, args=(k,)) for k in range(3)]
+    for t in threads:
+        t.start()
+    time.sleep(0.02)  # first batch in flight; remaining jobs queued
+    c.close()
+    for t in threads:
+        t.join(timeout=10)
+    # every pre-close job completed (none hang, none crashed the worker)
+    assert len(results) == 3 and not errors
+    assert not c._thread.is_alive()
+    try:
+        c.get_terrain(0, 0, 4, 4)
+        raised = False
+    except RuntimeError:
+        raised = True
+    assert raised, "post-close submission must fail fast"

@@ -116,3 +116,30 @@ def test_gradients_flow(state, rng):
     g = jax.grad(lambda r: fn(r, target))(recon)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_slice_keyed_state_dict_loads(state, tmp_path):
+    """The lpips pip package registers torchvision layers under their
+    ORIGINAL indices inside net.sliceN modules — a net.sliceN.<i>.* state
+    dict must load identically to features-keyed weights."""
+    import torch
+
+    # slice boundaries for alexnet in the lpips package: [0:2][2:5][5:8][8:10][10:12]
+    bounds = [(1, range(0, 2)), (2, range(2, 5)), (3, range(5, 8)),
+              (4, range(8, 10)), (5, range(10, 12))]
+    slice_state = {}
+    for k, v in state.items():
+        if k.startswith("features."):
+            idx = int(k.split(".")[1])
+            rest = k.split(".", 2)[2]
+            n = next(sn for sn, r in bounds if idx in r)
+            k = f"net.slice{n}.{idx}.{rest}"
+        slice_state[k] = torch.as_tensor(np.asarray(v))
+    path = str(tmp_path / "slice_keyed.pt")
+    torch.save(slice_state, path)
+    params = jl.load_torch_checkpoint(path)
+    ref_params = jl.params_from_torch_state(dict(state))
+    import jax
+
+    for (a, b) in zip(jax.tree.leaves(params), jax.tree.leaves(ref_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
