@@ -1327,6 +1327,20 @@ class WorldPipeline:
             elev_dev, dtype=np.float32)),
                 "climate": climate}
 
+    def warmup(self, tile: int | None = None, with_climate: bool = True) -> dict:
+        """Precompile the serving-path programs for `tile`-sized queries
+        (cold/adjacent batch buckets + an odd alignment) so the first client
+        request doesn't pay the compile bill.  Generated tiles are real
+        world data and stay cached."""
+        t = int(tile or self.decoder_tile_size)
+        t0 = time.perf_counter()
+        self.get(0, 0, t, t, with_climate=with_climate)
+        self.get(0, t, t, 2 * t, with_climate=with_climate)  # adjacent buckets
+        off = t // 2 + 1
+        self.get(off, 2 * t + off, off + t, 3 * t + off,
+                 with_climate=with_climate)  # odd alignment
+        return {"warmup_s": round(time.perf_counter() - t0, 2)}
+
     def prefetch(self, queries, with_climate: bool = True) -> None:
         """Plan + generate every stage window needed by ALL `queries`
         (list of (i1, j1, i2, j2) boxes) in one coalesced pass: missing

@@ -80,11 +80,12 @@ class DeviceTileAtlas:
 
     def reserve(self, idxs, row_shape) -> np.ndarray:
         """Assign (LRU-evicting) slots for `idxs` without writing — the
-        fused-program path scatters into them inside the stage dispatch."""
-        assert len(idxs) <= self.capacity, (
-            f"batch of {len(idxs)} windows exceeds the {self.capacity}-slot "
-            "atlas — raise device_cache_tiles above the largest batch bucket "
-            "(LRU wrap-around within one batch would silently alias slots)")
+        fused-program path scatters into them inside the stage dispatch.
+
+        If len(idxs) exceeds the capacity, slots wrap (early idxs evict
+        within the batch): only the surviving tail stays mapped, which is
+        safe for the host-store-backed paths (misses recompute/reload) but
+        NOT for the fused path — its caller checks capacity first."""
         self._ensure(tuple(row_shape))
         slots = []
         for idx in idxs:
@@ -451,6 +452,10 @@ class InfiniteTensor:
         atlases, run the stage core, and scatter outputs into this tensor's
         atlas — all inside self.f_fused.  Returns False (caller falls back)
         unless every parent window of the chunk is device-resident."""
+        if len(chunk) > self.device_cache.capacity:
+            # in-batch LRU wrap-around would alias slots the fused scatter
+            # then treats as distinct — run the staged path instead
+            return False
         bucket = self._pick_bucket(len(chunk))
         pad = bucket - len(chunk)
         padded = list(chunk) + [chunk[-1]] * pad

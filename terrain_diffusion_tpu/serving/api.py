@@ -181,10 +181,12 @@ def configure(**config):
               help="Accept concurrent clients; their tile requests coalesce "
                    "into shared stage batches (one generation pass serves "
                    "all in-flight queries)")
+@click.option("--warmup/--no-warmup", default=False,
+              help="Precompile serving programs before accepting clients")
 @click.option("--kwarg", "extra_kwargs", multiple=True,
               help="Additional key=value pipeline kwargs")
 def main(model_path, caching_strategy, hdf5_file, cache_size, seed, batch_size,
-         log_mode, dtype, host, port, threaded, extra_kwargs):
+         log_mode, dtype, host, port, threaded, warmup, extra_kwargs):
     """Terrain API server."""
     if caching_strategy == "indirect" and hdf5_file is None:
         hdf5_file = "TEMP"
@@ -204,7 +206,10 @@ def main(model_path, caching_strategy, hdf5_file, cache_size, seed, batch_size,
         kwargs=parse_kwargs(extra_kwargs),
         coalesce=threaded,
     )
-    _get_pipeline()
+    pipe = _get_pipeline()
+    if warmup:
+        print("Warming up serving programs ...")
+        print(f"Warmup done: {pipe.warmup()}")
     app.run(host=host, port=port, threaded=threaded, serialize=not threaded)
 
 

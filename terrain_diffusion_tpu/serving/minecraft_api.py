@@ -71,6 +71,11 @@ def _get_pipeline():
             _PIPELINE.bind(hdf5_file=hdf5_file)
         else:
             _PIPELINE.bind(hdf5_file or "TEMP")
+    if cfg.get("coalesce"):
+        from terrain_diffusion_tpu.serving.coalesce import CoalescedPipeline
+
+        _PIPELINE = CoalescedPipeline(_PIPELINE,
+                                      max_batch=cfg.get("coalesce_max_batch", 16))
     print(f"World seed: {_PIPELINE.seed}")
     return _PIPELINE
 
@@ -425,10 +430,14 @@ app.route("/11")(_legacy(8))
 @click.option("--host", default="0.0.0.0")
 @click.option("--port", type=int, default=int(os.getenv("PORT", "8000")))
 @click.option("--threaded/--no-threaded", default=False,
-              help="Accept concurrent clients (generation stays serialized)")
+              help="Accept concurrent clients; chunk requests coalesce into "
+                   "shared stage batches (one generation pass serves all "
+                   "in-flight queries — built for MC chunk storms)")
+@click.option("--warmup/--no-warmup", default=False,
+              help="Precompile serving programs before accepting clients")
 @click.option("--kwarg", "extra_kwargs", multiple=True)
 def main(model_path, caching_strategy, hdf5_file, cache_size, seed, batch_size,
-         log_mode, dtype, host, port, threaded, extra_kwargs):
+         log_mode, dtype, host, port, threaded, warmup, extra_kwargs):
     """Minecraft terrain API server."""
     if caching_strategy == "indirect" and hdf5_file is None:
         hdf5_file = "TEMP"
@@ -440,9 +449,13 @@ def main(model_path, caching_strategy, hdf5_file, cache_size, seed, batch_size,
         cache_limit=parse_cache_size(cache_size), seed=seed,
         latents_batch_size=batch_sizes, log_mode=log_mode,
         dtype=None if dtype == "fp32" else dtype,
-        kwargs=parse_kwargs(extra_kwargs))
-    _get_pipeline()
-    app.run(host=host, port=port, threaded=threaded)
+        kwargs=parse_kwargs(extra_kwargs),
+        coalesce=threaded)
+    pipe = _get_pipeline()
+    if warmup:
+        print("Warming up serving programs ...")
+        print(f"Warmup done: {pipe.warmup()}")
+    app.run(host=host, port=port, threaded=threaded, serialize=not threaded)
 
 
 if __name__ == "__main__":

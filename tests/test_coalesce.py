@@ -163,3 +163,17 @@ def test_close_races_with_inflight_jobs():
     except RuntimeError:
         raised = True
     assert raised, "post-close submission must fail fast"
+
+
+def test_mc_api_threaded_mode_uses_coalesced_pipeline():
+    from terrain_diffusion_tpu.serving import minecraft_api as mc
+
+    world = FakeWorld()
+    world.native_resolution = 90.0
+    mc.configure(pipeline=world, coalesce=True)
+    p = mc._get_pipeline()
+    assert isinstance(p, CoalescedPipeline)
+    assert p.native_resolution == 90.0  # attr proxying for handler use
+    out = p.get(0, 0, 4, 4)
+    assert out["elev"].shape == (4, 4)
+    mc.configure()
