@@ -256,6 +256,48 @@ def _attention(p, x, num_heads: int, compute_dtype, attention_impl: str = "xla")
     return mp_conv_apply(p["attn_proj"], out, compute_dtype=compute_dtype)
 
 
+def _fused_block(p, x, emb, *, mode, conv_type, dropout, res_balance,
+                 clip_act, expansion_factor, no_padding, activation,
+                 training, compute_dtype, interpret):
+    """Route the block's conv body through the fused Pallas kernel
+    (ops/pallas_block.py) when shapes/options allow; None = fall back."""
+    if "conv_res0" not in p:  # mobile conv layout
+        return None
+    if not interpret and jax.default_backend() != "tpu":
+        return None
+    from terrain_diffusion_tpu.ops import pallas_block as pb
+
+    if not pb.block_eligible(x, conv_type=conv_type, training=training,
+                             dropout=dropout, no_padding=no_padding,
+                             expansion_factor=expansion_factor,
+                             activation=activation,
+                             # interpret mode is the CPU test path; the
+                             # measured large-map-only cutover is for TPU
+                             min_pixels=0 if interpret else 512 * 512):
+        return None
+    dt = compute_dtype
+
+    def norm_scaled(w):
+        wn = mp.normalize(w)
+        return wn * (1.0 / math.sqrt(int(np.prod(w.shape[:-1]))))
+
+    w0 = norm_scaled(p["conv_res0"]["w"])
+    w1 = norm_scaled(p["conv_res1"]["w"])
+    wskip = None
+    if "conv_skip" in p:
+        ws = norm_scaled(p["conv_skip"]["w"])  # (1, 1, Cin, Cout) HWIO
+        wskip = ws.reshape(ws.shape[2], ws.shape[3])
+    c = None
+    if "emb_linear" in p and emb is not None:
+        c = mp_conv_apply(p["emb_linear"], emb, gain=p["emb_gain"],
+                          compute_dtype=dt) + 1.0
+        c = c / jnp.sqrt(jnp.mean(jnp.square(c), axis=-1, keepdims=True) + 1e-8)
+    return pb.fused_block_apply(
+        x.astype(dt), w0, w1, c, wskip, mode=mode,
+        pixel_norm=(mode == "enc"), res_balance=float(res_balance),
+        clip_act=clip_act, interpret=interpret)
+
+
 def unet_block_apply(
     p,
     x,
@@ -277,6 +319,7 @@ def unet_block_apply(
     dropout_key=None,
     compute_dtype=None,
     attention_impl: str = "xla",
+    block_impl: str = "xla",
     **_unused,
 ):
     """Forward for one MP U-Net block (reference `unet_block.py:116-156`)."""
@@ -292,6 +335,24 @@ def unet_block_apply(
             compute_dtype=dt)
     else:
         x = resample(x, resample_mode)
+
+    if block_impl in ("pallas", "pallas_interpret"):
+        fused = _fused_block(p, x, emb, mode=mode, conv_type=conv_type,
+                             dropout=dropout, res_balance=res_balance,
+                             clip_act=None if num_heads > 0 else clip_act,
+                             expansion_factor=expansion_factor,
+                             no_padding=no_padding, activation=activation,
+                             training=training, compute_dtype=dt,
+                             interpret=block_impl == "pallas_interpret")
+        if fused is not None:
+            x = fused
+            if num_heads > 0:
+                x = mp.mp_sum(
+                    [x, _attention(p, x, num_heads, dt, attention_impl)],
+                    w=attn_balance)
+                if clip_act is not None:
+                    x = jnp.clip(x, -clip_act, clip_act)
+            return x
     if mode == "enc":
         if "conv_skip" in p:
             x = mp_conv_apply(p["conv_skip"], x, compute_dtype=dt)

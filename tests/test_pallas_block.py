@@ -1,0 +1,100 @@
+"""Parity tests for the fused residual-block Pallas kernel.
+
+The kernel (ops/pallas_block.py) must reproduce the XLA block path
+(`nn/layers.py::unet_block_apply`, reference `unet_block.py:116-156`)
+exactly up to float reassociation.  Runs in Pallas interpreter mode on the
+CPU test mesh; the TPU-compiled path is exercised by the decoder benchmark.
+"""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from terrain_diffusion_tpu.nn import layers as L
+from terrain_diffusion_tpu.ops import mp
+from terrain_diffusion_tpu.ops import pallas_block as pb
+
+KEY = jax.random.key(0)
+
+
+def _rel_err(a, b):
+    return float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-9))
+
+
+@pytest.mark.parametrize(
+    "cin,cout,mode,attention",
+    [
+        (64, 64, "enc", False),   # same-C enc (pixel norm + residual)
+        (32, 64, "enc", False),   # enc with 1x1 projection before the norm
+        (64, 64, "dec", False),   # same-C dec
+        (128, 64, "dec", False),  # dec consuming a 2C skip concat
+        (64, 64, "dec", True),    # fused conv body + XLA attention tail
+    ])
+def test_fused_block_matches_xla(rng, cin, cout, mode, attention):
+    p = L.unet_block_init(KEY, cin, cout, 32, mode=mode, attention=attention)
+    x = jnp.asarray(rng.standard_normal((2, 32, 128, cin)), jnp.float32)
+    emb = jnp.asarray(rng.standard_normal((2, 32)), jnp.float32)
+    ref = L.unet_block_apply(p, x, emb, mode=mode, attention=attention)
+    out = L.unet_block_apply(p, x, emb, mode=mode, attention=attention,
+                             block_impl="pallas_interpret")
+    assert _rel_err(ref, out) < 1e-5
+
+
+def test_fused_block_tiling_invariance(rng):
+    """Halo assembly: output must not depend on the row-tile size."""
+    C, H, W = 32, 64, 128
+    p = L.unet_block_init(KEY, C, C, 16, mode="enc")
+    x = jnp.asarray(rng.standard_normal((2, H, W, C)), jnp.float32)
+    emb = jnp.asarray(rng.standard_normal((2, 16)), jnp.float32)
+    ref = L.unet_block_apply(p, x, emb, mode="enc")
+
+    def norm_scaled(w):
+        wn = mp.normalize(w)
+        return wn * (1.0 / math.sqrt(int(np.prod(w.shape[:-1]))))
+
+    c = L.mp_conv_apply(p["emb_linear"], emb, gain=p["emb_gain"]) + 1.0
+    c = c / jnp.sqrt(jnp.mean(jnp.square(c), axis=-1, keepdims=True) + 1e-8)
+    for th in (8, 16, 64):
+        out = pb.fused_block_apply(
+            x, norm_scaled(p["conv_res0"]["w"]), norm_scaled(p["conv_res1"]["w"]),
+            c, None, mode="enc", pixel_norm=True, res_balance=0.3,
+            clip_act=256.0, tile_rows=th, interpret=True)
+        assert _rel_err(ref, out) < 1e-5, th
+
+
+def test_fused_block_ineligible_fallback(rng):
+    """Blocks the kernel does not cover fall back to XLA (identical result)."""
+    p = L.unet_block_init(KEY, 16, 16, 8, mode="enc")
+    x = jnp.asarray(rng.standard_normal((1, 8, 16, 16)), jnp.float32)  # tiny map
+    emb = jnp.asarray(rng.standard_normal((1, 8)), jnp.float32)
+    ref = L.unet_block_apply(p, x, emb, mode="enc")
+    out = L.unet_block_apply(p, x, emb, mode="enc", block_impl="pallas_interpret")
+    assert _rel_err(ref, out) == 0.0
+
+
+def test_unet_forward_with_pallas_blocks(rng):
+    """Whole-model forward with block_impl='pallas_interpret' in block_kwargs
+    matches the default path (eligible blocks fused, the rest unchanged)."""
+    from terrain_diffusion_tpu.nn import EDMUnet2D, EDMUnetConfig
+
+    def build(block_kwargs):
+        return EDMUnet2D(EDMUnetConfig(
+            image_size=128, in_channels=3, out_channels=3, model_channels=32,
+            model_channel_mults=(1, 2), layers_per_block=1,
+            attn_resolutions=(), midblock_attention=False,
+            conditional_inputs=(), fourier_scale="pos", disable_out_gain=True,
+            block_kwargs=block_kwargs))
+
+    m_ref = build({})
+    m_pal = build({"block_impl": "pallas_interpret"})
+    p = jax.jit(m_ref.init)(KEY)
+    x = jnp.asarray(rng.standard_normal((1, 128, 128, 3)), jnp.float32)
+    nl = jnp.full((1,), 0.7, jnp.float32)
+    ref = m_ref.apply(p, x, nl, [])
+    out = m_pal.apply(p, x, nl, [])
+    rel = _rel_err(ref, out)
+    # 0 would mean no block actually routed through the fused kernel
+    # (disable_out_gain keeps the output nonzero at random init)
+    assert 0 < rel < 1e-5, rel
