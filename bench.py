@@ -104,7 +104,10 @@ else:
             image_size=512, in_channels=5, out_channels=1, model_channels=mc,
             model_channel_mults=(1, 2, 3, 4), layers_per_block=3,
             attn_resolutions=(), midblock_attention=False, concat_balance=0.5,
-            conditional_inputs=(), fourier_scale="pos"))
+            conditional_inputs=(), fourier_scale="pos",
+            # serving default (WorldPipeline block_impl): fused Pallas
+            # residual blocks on the large-map levels
+            block_kwargs={"block_impl": "pallas"}))
         B, H, IC = 2, 512, 5
         cond_args = []
     p = jax.jit(model.init)(jax.random.key(0))

