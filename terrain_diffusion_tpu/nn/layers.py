@@ -273,7 +273,7 @@ def _fused_block(p, x, emb, *, mode, conv_type, dropout, res_balance,
                              activation=activation,
                              # interpret mode is the CPU test path; the
                              # measured large-map-only cutover is for TPU
-                             min_pixels=0 if interpret else 512 * 512):
+                             min_pixels=0 if interpret else 128 * 128):
         return None
     dt = compute_dtype
 

@@ -170,7 +170,7 @@ def _pick_tile_rows(H, W, cin, cmid, tile_rows=None):
 def block_eligible(x, *, conv_type="default", resample_mode="keep",
                    training=False, dropout=0.0, no_padding=False,
                    expansion_factor=1, activation="silu", tile_rows=None,
-                   min_pixels=512 * 512):
+                   min_pixels=128 * 128):
     """Whether the fused kernel covers this block's conv body exactly."""
     if conv_type != "default" or no_padding or expansion_factor != 1:
         return False
@@ -184,9 +184,10 @@ def block_eligible(x, *, conv_type="default", resample_mode="keep",
     if H < 8 or W % 8 or W < 128:
         return False  # tiny maps: XLA is fine, tiling constraints are not
     if tile_rows is None and H * W < min_pixels:
-        # measured on v5e: the kernel wins at 512x512-scale maps (1.3-2.6x)
-        # where XLA's space-to-batch conv rewrite is bandwidth-bound, and
-        # loses below ~256x256 where XLA's convs are already compute-bound
+        # measured on v5e: the kernel wins 1.3-2.6x from 128x128 up
+        # (XLA's space-to-batch conv rewrite is bandwidth-bound there,
+        # worst for narrow channels and skip-concat dec blocks); below
+        # that XLA's convs are already compute-bound
         return False
     th = _pick_tile_rows(H, W, C, C, tile_rows)
     return H % th == 0
