@@ -98,3 +98,30 @@ def test_unet_forward_with_pallas_blocks(rng):
     # 0 would mean no block actually routed through the fused kernel
     # (disable_out_gain keeps the output nonzero at random init)
     assert 0 < rel < 1e-5, rel
+
+
+def test_fused_block_skip_input_concat(rng):
+    """Two-input fused dec block == mp_concat followed by the 2C block,
+    and the XLA path with skip_input == the pre-concatenated XLA path."""
+    p = L.unet_block_init(KEY, 128, 64, 32, mode="dec")
+    x = jnp.asarray(rng.standard_normal((2, 32, 128, 64)), jnp.float32)
+    skip = jnp.asarray(rng.standard_normal((2, 32, 128, 64)), jnp.float32)
+    emb = jnp.asarray(rng.standard_normal((2, 32)), jnp.float32)
+    cat = mp.mp_concat([x, skip], axis=-1, w=0.3)
+    ref = L.unet_block_apply(p, cat, emb, mode="dec")
+    xla = L.unet_block_apply(p, x, emb, mode="dec", skip_input=skip,
+                             concat_w=0.3)
+    assert _rel_err(ref, xla) == 0.0
+    out = L.unet_block_apply(p, x, emb, mode="dec", skip_input=skip,
+                             concat_w=0.3, block_impl="pallas_interpret")
+    assert 0 < _rel_err(ref, out) < 1e-5
+
+
+def test_fused_out_conv_matches_xla(rng):
+    from terrain_diffusion_tpu.ops import pallas_block as pb
+    p = {"w": jnp.asarray(rng.standard_normal((3, 3, 32, 1)), jnp.float32)}
+    x = jnp.asarray(rng.standard_normal((2, 128, 128, 32)), jnp.float32)
+    ref = L.mp_conv_apply(p, x, gain=0.7)
+    w = mp.normalize(p["w"]) * (0.7 / np.sqrt(9 * 32))
+    out = pb.fused_conv3x3_apply(x, w, interpret=True)
+    assert _rel_err(ref, out) < 1e-5
