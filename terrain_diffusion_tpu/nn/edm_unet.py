@@ -235,15 +235,15 @@ class EDMUnet2D:
             skips.append(x)
             bi += 1
         for name, kind, cin, cout, opts in self.dec_plan:
-            if "block" in name:
-                x = mp.mp_concat([x, skips.pop()], axis=-1, w=cfg.concat_balance)
+            skip = skips.pop() if "block" in name else None
             x = L.unet_block_apply(
                 params["dec"][name], x, emb,
                 **{**cfg.block_kwargs, **opts},
+                skip_input=skip, concat_w=cfg.concat_balance,
                 training=training, dropout_key=dkeys[bi], compute_dtype=dt)
             bi += 1
         gain = params["out_gain"] if "out_gain" in params else 1.0
-        x = L.mp_conv_apply(params["out_conv"], x, gain=gain, compute_dtype=dt)
+        x = self._out_conv(params, x, gain, dt)
 
         if return_logvar:
             lv_in = jnp.log(jnp.tan(noise_labels) / 8.0)
@@ -253,6 +253,24 @@ class EDMUnet2D:
             logvar = logvar.reshape(-1, 1, 1, cfg.n_logvar)
             return x, logvar
         return x
+
+    # ------------------------------------------------------------------
+    def _out_conv(self, params, x, gain, dt):
+        """Output 3x3 conv; routed through the fused Pallas conv on large
+        maps when block_impl is 'pallas' (XLA's space-to-batch rewrite makes
+        the full-res 64->1 head cost more than its FLOPs)."""
+        impl = (self.config.block_kwargs or {}).get("block_impl", "xla")
+        if impl in ("pallas", "pallas_interpret"):
+            interp = impl == "pallas_interpret"
+            from terrain_diffusion_tpu.ops import pallas_block as pb
+            if (interp or jax.default_backend() == "tpu") and \
+                    pb.conv3x3_eligible(x):
+                w = params["out_conv"]["w"]
+                w = mp.normalize(w) * (gain / np.sqrt(int(np.prod(w.shape[:-1]))))
+                return pb.fused_conv3x3_apply(x.astype(dt), w,
+                                              interpret=interp)
+        return L.mp_conv_apply(params["out_conv"], x, gain=gain,
+                               compute_dtype=dt)
 
     # ------------------------------------------------------------------
     def count_parameters(self, params) -> int:

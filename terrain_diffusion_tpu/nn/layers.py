@@ -258,7 +258,8 @@ def _attention(p, x, num_heads: int, compute_dtype, attention_impl: str = "xla")
 
 def _fused_block(p, x, emb, *, mode, conv_type, dropout, res_balance,
                  clip_act, expansion_factor, no_padding, activation,
-                 training, compute_dtype, interpret):
+                 training, compute_dtype, interpret, x2=None,
+                 concat_scales=None):
     """Route the block's conv body through the fused Pallas kernel
     (ops/pallas_block.py) when shapes/options allow; None = fall back."""
     if "conv_res0" not in p:  # mobile conv layout
@@ -293,9 +294,10 @@ def _fused_block(p, x, emb, *, mode, conv_type, dropout, res_balance,
                           compute_dtype=dt) + 1.0
         c = c / jnp.sqrt(jnp.mean(jnp.square(c), axis=-1, keepdims=True) + 1e-8)
     return pb.fused_block_apply(
-        x.astype(dt), w0, w1, c, wskip, mode=mode,
+        x.astype(dt), w0, w1, c, wskip,
+        x2.astype(dt) if x2 is not None else None, mode=mode,
         pixel_norm=(mode == "enc"), res_balance=float(res_balance),
-        clip_act=clip_act, interpret=interpret)
+        clip_act=clip_act, concat_scales=concat_scales, interpret=interpret)
 
 
 def unet_block_apply(
@@ -320,9 +322,17 @@ def unet_block_apply(
     compute_dtype=None,
     attention_impl: str = "xla",
     block_impl: str = "xla",
+    skip_input=None,
+    concat_w: float = 0.3,
     **_unused,
 ):
-    """Forward for one MP U-Net block (reference `unet_block.py:116-156`)."""
+    """Forward for one MP U-Net block (reference `unet_block.py:116-156`).
+
+    skip_input: optional U-Net skip tensor to mp_concat onto x before the
+    block (dec path).  Passing it here (instead of pre-concatenating) lets
+    the fused Pallas path consume both halves without materializing the
+    2C concat in HBM; the XLA path concatenates exactly as before.
+    """
     act = _ACTIVATIONS[activation]
     out_channels = p["conv_res1"]["w"].shape[-1]
     num_heads = out_channels // channels_per_head if attention else 0
@@ -337,13 +347,25 @@ def unet_block_apply(
         x = resample(x, resample_mode)
 
     if block_impl in ("pallas", "pallas_interpret"):
+        x2 = cscales = None
+        if skip_input is not None and skip_input.shape == x.shape:
+            wv = (1.0 - concat_w, concat_w)
+            ctot = math.sqrt((x.shape[-1] + skip_input.shape[-1])
+                             / (wv[0] ** 2 + wv[1] ** 2))
+            cscales = (ctot / math.sqrt(x.shape[-1]) * wv[0],
+                       ctot / math.sqrt(skip_input.shape[-1]) * wv[1])
+            x2 = skip_input
+        elif skip_input is not None:
+            x = mp.mp_concat([x, skip_input], axis=-1, w=concat_w)
+            skip_input = None
         fused = _fused_block(p, x, emb, mode=mode, conv_type=conv_type,
                              dropout=dropout, res_balance=res_balance,
                              clip_act=None if num_heads > 0 else clip_act,
                              expansion_factor=expansion_factor,
                              no_padding=no_padding, activation=activation,
                              training=training, compute_dtype=dt,
-                             interpret=block_impl == "pallas_interpret")
+                             interpret=block_impl == "pallas_interpret",
+                             x2=x2, concat_scales=cscales)
         if fused is not None:
             x = fused
             if num_heads > 0:
@@ -353,6 +375,10 @@ def unet_block_apply(
                 if clip_act is not None:
                     x = jnp.clip(x, -clip_act, clip_act)
             return x
+        if x2 is not None:  # kernel ineligible: concatenate as usual
+            x = mp.mp_concat([x, x2], axis=-1, w=concat_w)
+    elif skip_input is not None:
+        x = mp.mp_concat([x, skip_input], axis=-1, w=concat_w)
     if mode == "enc":
         if "conv_skip" in p:
             x = mp_conv_apply(p["conv_skip"], x, compute_dtype=dt)

@@ -93,7 +93,11 @@ def _conv3x3(a, w_ref, rows_out, acc_dtype, pack_taps):
 
 def _block_kernel(xm1_ref, x_ref, xp1_ref, w0_ref, w1_ref, c_ref, *rest,
                   H, mode, pixel_norm, res_balance, clip_act, has_skip,
-                  compute_dtype):
+                  concat_scales, compute_dtype):
+    rest = list(rest)
+    if concat_scales is not None:
+        x2m1_ref, x2_ref, x2p1_ref = rest[:3]
+        rest = rest[3:]
     if has_skip:
         wsk_ref, o_ref = rest
     else:
@@ -108,7 +112,16 @@ def _block_kernel(xm1_ref, x_ref, xp1_ref, w0_ref, w1_ref, c_ref, *rest,
     xs = jnp.concatenate(
         [xm1_ref[0, TH - 2:], x_ref[0], xp1_ref[0, :2]], axis=0)  # (TH+4,W,Cin)
     r0 = i * TH - 2
-    xs = xs.astype(f32) * _row_mask(TH + 4, r0, H, f32)
+    rmask = _row_mask(TH + 4, r0, H, f32)
+    xs = xs.astype(f32) * rmask
+    if concat_scales is not None:
+        # fused magnitude-preserving skip concat (mp_concat): the two
+        # halves are scaled in VMEM instead of materializing the 2C
+        # tensor in HBM
+        s1, s2 = concat_scales
+        x2 = jnp.concatenate(
+            [x2m1_ref[0, TH - 2:], x2_ref[0], x2p1_ref[0, :2]], axis=0)
+        xs = jnp.concatenate([xs * s1, x2.astype(f32) * rmask * s2], axis=-1)
 
     if mode == "enc":
         if has_skip:  # 1x1 projection BEFORE pixel norm (reference order)
@@ -196,10 +209,10 @@ def block_eligible(x, *, conv_type="default", resample_mode="keep",
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "pixel_norm", "res_balance", "clip_act",
-                     "tile_rows", "interpret"))
-def fused_block_apply(x, w0, w1, c, wskip=None, *, mode="enc",
+                     "tile_rows", "concat_scales", "interpret"))
+def fused_block_apply(x, w0, w1, c, wskip=None, x2=None, *, mode="enc",
                       pixel_norm=True, res_balance=0.3, clip_act=256.0,
-                      tile_rows=None, interpret=False):
+                      tile_rows=None, concat_scales=None, interpret=False):
     """Fused residual-block forward.
 
     x      : (N, H, W, Cin) activations (bf16 or f32).
@@ -210,11 +223,18 @@ def fused_block_apply(x, w0, w1, c, wskip=None, *, mode="enc",
     c      : (N, Cmid) per-channel emb gain (already includes +1 and RMS
              normalization), or None for gain-free blocks.
     wskip  : (Cin, Cout) normalized+scaled 1x1 projection or None.
+    x2     : optional second input of the same shape as x; when given (with
+             static `concat_scales=(s1, s2)`) the kernel consumes
+             mp_concat([x, x2]) without materializing it -- the dec-block
+             skip join.
 
     The mp_silu 1/0.596 magnitude correction is folded into w0/w1 here, so
     callers pass plain normalized weights.
     """
     N, H, W, Cin = x.shape
+    if x2 is not None:
+        assert x2.shape == x.shape and concat_scales is not None
+        Cin = 2 * Cin  # kernel-internal concat width
     Cmid = w0.shape[-1]
     Cout = w1.shape[-1]
     dt = x.dtype
@@ -228,7 +248,7 @@ def fused_block_apply(x, w0, w1, c, wskip=None, *, mode="enc",
 
     grid = (N, H // th)
     xspec = lambda off: pl.BlockSpec(
-        (1, th, W, Cin),
+        (1, th, W, x.shape[-1]),
         (lambda n, i: (n, jnp.clip(i + off, 0, H // th - 1), 0, 0)),
         memory_space=pltpu.VMEM)
     in_specs = [
@@ -238,6 +258,10 @@ def fused_block_apply(x, w0, w1, c, wskip=None, *, mode="enc",
         pl.BlockSpec(memory_space=pltpu.VMEM),  # c
     ]
     args = [x, x, x, w0, w1, c]
+    if x2 is not None:
+        x2 = x2.astype(dt)
+        in_specs += [xspec(-1), xspec(0), xspec(+1)]
+        args += [x2, x2, x2]
     if wskip is not None:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         args.append(wskip.astype(dt))
@@ -246,7 +270,8 @@ def fused_block_apply(x, w0, w1, c, wskip=None, *, mode="enc",
         _block_kernel, H=H, mode=mode, pixel_norm=pixel_norm,
         res_balance=float(res_balance),
         clip_act=None if clip_act is None else float(clip_act),
-        has_skip=wskip is not None, compute_dtype=dt)
+        has_skip=wskip is not None, concat_scales=concat_scales,
+        compute_dtype=dt)
     flops = 2 * N * H * W * (9 * w0.shape[2] * Cmid + 9 * Cmid * Cout
                              + (w0.shape[2] * Cout if wskip is not None else 0))
     bytes_accessed = x.size * x.dtype.itemsize + N * H * W * Cout * x.dtype.itemsize
@@ -265,3 +290,62 @@ def fused_block_apply(x, w0, w1, c, wskip=None, *, mode="enc",
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
+
+
+# ---------------------------------------------------------------------------
+# Standalone fused 3x3 conv (the decoder's full-res output head)
+# ---------------------------------------------------------------------------
+
+def _conv_kernel(xm1_ref, x_ref, xp1_ref, w_ref, o_ref, *, H):
+    i = pl.program_id(1)
+    TH, W, Cin = x_ref.shape[1:]
+    xs = jnp.concatenate(
+        [xm1_ref[0, TH - 1:], x_ref[0], xp1_ref[0, :1]], axis=0)  # (TH+2,W,C)
+    xs = xs * _row_mask(TH + 2, i * TH - 1, H, xs.dtype)
+    y = _conv3x3(xs, w_ref, TH, jnp.float32, pack_taps=Cin <= 64)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def conv3x3_eligible(x, tile_rows=None):
+    if x.ndim != 4:
+        return False
+    N, H, W, C = x.shape
+    if H < 8 or W % 8 or W < 128 or H * W < 128 * 128:
+        return False
+    return H % _pick_tile_rows(H, W, C, C, tile_rows) == 0
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
+def fused_conv3x3_apply(x, w, *, tile_rows=None, interpret=False):
+    """SAME-padded 3x3 conv as one Pallas program (large maps).
+
+    w is the fully prepared HWIO weight (normalized, fan-in scaled, gain
+    applied).  Used for the decoder's 512x512 output conv, where XLA's
+    space-to-batch rewrite costs more than the conv's own FLOPs.
+    """
+    N, H, W, Cin = x.shape
+    Cout = w.shape[-1]
+    dt = x.dtype
+    th = _pick_tile_rows(H, W, Cin, Cin, tile_rows)
+    assert H % th == 0, (H, th)
+    xspec = lambda off: pl.BlockSpec(
+        (1, th, W, Cin),
+        (lambda n, i: (n, jnp.clip(i + off, 0, H // th - 1), 0, 0)),
+        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_conv_kernel, H=H),
+        grid=(N, H // th),
+        in_specs=[xspec(-1), xspec(0), xspec(+1),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (1, th, W, Cout), (lambda n, i: (n, i, 0, 0)),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, H, W, Cout), dt),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * H * W * 9 * Cin * Cout,
+            bytes_accessed=(x.size + N * H * W * Cout) * x.dtype.itemsize,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, x, x, w.astype(dt))

@@ -95,6 +95,12 @@ def resolve_hdf5_path(hdf5_file: str) -> str:
     return hdf5_file
 
 
+def _pack_elev_i16(elev):
+    """Device-side wire conversion matching serving/api.py:_elev_to_int16
+    exactly: floor, clip to int16 range."""
+    return jnp.clip(jnp.floor(elev), -32768, 32767).astype(jnp.int16)
+
+
 class WorldPipeline:
     """Multi-scale terrain generation pipeline (TPU-native)."""
 
@@ -1227,7 +1233,7 @@ class WorldPipeline:
             jnp.asarray(v, dtype=jnp.float32), jnp.asarray(elev))
         return np.asarray(climate, dtype=np.float32)
 
-    def _compose_fused_core(self, with_climate: bool):
+    def _compose_fused_core(self, with_climate: bool, pack_wire: bool = False):
         """ONE jitted program for the whole output composition: assemble the
         residual/latents[/coarse] regions straight from the stage atlases
         (traced geometry), laplacian denoise+decode + signed square, and the
@@ -1255,7 +1261,7 @@ class WorldPipeline:
                 elev = signed_square(
                     jax.lax.dynamic_slice(elev_p, (oi, oj), (h, w)))
                 if not with_climate:
-                    return elev, None
+                    return (_pack_elev_i16(elev) if pack_wire else elev), None
                 coarse_init = assemble_from_atlas(*coarse_view, coarse_shape)[0]
                 coarse_map = coarse_init[:-1] / coarse_init[-1:]
                 coarse_elev = jnp.sign(coarse_map[0]) * jnp.square(
@@ -1285,14 +1291,17 @@ class WorldPipeline:
                 climate = jnp.stack([temp_realistic, feats_up[2 + 3],
                                      feats_up[2 + 4], feats_up[2 + 5],
                                      feats_up[1]])
+                if pack_wire:
+                    return _pack_elev_i16(elev), climate.astype(jnp.float16)
                 return elev, climate
 
             return compose
 
         return self._prog(("compose_fused", float(RES_MEAN), float(RES_STD),
-                           win, with_climate), build)
+                           win, with_climate, pack_wire), build)
 
-    def _compose_fused(self, i1, j1, i2, j2, with_climate: bool):
+    def _compose_fused(self, i1, j1, i2, j2, with_climate: bool,
+                       pack_wire: bool = False):
         """(elev_dev, climate_dev | None) in one dispatch, or None when a
         needed window is not device-resident (fallback: unfused path)."""
         from terrain_diffusion_tpu.runtime.infinite_tensor import (
@@ -1320,7 +1329,7 @@ class WorldPipeline:
         if not with_climate:
             views.append(None)
             shapes.append(None)
-        compose = self._compose_fused_core(with_climate)
+        compose = self._compose_fused_core(with_climate, pack_wire)
         return compose(
             views[0], views[1], views[2], jnp.int32(i1 - pi1),
             jnp.int32(j1 - pj1),
@@ -1328,32 +1337,47 @@ class WorldPipeline:
             res_shape=shapes[0], lat_shape=shapes[1], coarse_shape=shapes[2],
             h=i2 - i1, w=j2 - j1, S=S)
 
-    def get(self, i1, j1, i2, j2, with_climate: bool = True) -> dict:
-        """Terrain for bounding box: elev (H, W) meters [+ climate (5, H, W)]."""
+    def get(self, i1, j1, i2, j2, with_climate: bool = True,
+            pack_wire: bool = False) -> dict:
+        """Terrain for bounding box: elev (H, W) meters [+ climate (5, H, W)].
+
+        pack_wire=True packs the serving wire formats ON DEVICE before the
+        fetch — elevation floor+clip to int16 (bit-identical to the host
+        conversion the HTTP API applies), climate to float16 (<6e-4
+        relative rounding) — halving the bytes pulled per query.  Returned
+        dtypes become int16 / float16.
+        """
         # make every needed window resident, then try the single-dispatch
         # fused composition; fall back to the staged path (host tile store,
         # partial device residency)
         self._timed("prefetch", lambda: self.prefetch(
             [(i1, j1, i2, j2)], with_climate))
         fused = self._timed("compose", lambda: self._compose_fused(
-            i1, j1, i2, j2, with_climate))
+            i1, j1, i2, j2, with_climate, pack_wire))
         if fused is not None:
             elev_dev, climate_dev = fused
             out = self._timed("fetch", lambda: jax.device_get(
                 (elev_dev, climate_dev) if climate_dev is not None
                 else (elev_dev,)))
-            elev = np.asarray(out[0], dtype=np.float32)
-            climate = (np.asarray(out[1], dtype=np.float32)
-                       if with_climate else None)
+            elev = np.asarray(out[0])
+            climate = np.asarray(out[1]) if with_climate else None
+            if not pack_wire:
+                elev = elev.astype(np.float32, copy=False)
+                climate = (climate.astype(np.float32, copy=False)
+                           if climate is not None else None)
             return {"elev": elev, "climate": climate}
         elev_dev = self._timed("compose_elev", lambda: self._compute_elev(
             i1, j1, i2, j2, scale=self.latent_compression))
         climate = (self._timed("compose_climate", lambda: self._compute_climate(
             i1, j1, i2, j2, elev_dev, scale=self.latent_compression))
                    if with_climate else None)
-        return {"elev": self._timed("fetch_elev", lambda: np.asarray(
-            elev_dev, dtype=np.float32)),
-                "climate": climate}
+        elev = self._timed("fetch_elev", lambda: np.asarray(
+            elev_dev, dtype=np.float32))
+        if pack_wire:  # host-side fallback packing: identical results
+            elev = np.clip(np.floor(elev), -32768, 32767).astype(np.int16)
+            climate = (np.asarray(climate, np.float16)
+                       if climate is not None else None)
+        return {"elev": elev, "climate": climate}
 
     def warmup(self, tile: int | None = None, with_climate: bool = True) -> dict:
         """Precompile the serving-path programs for `tile`-sized queries
@@ -1390,9 +1414,11 @@ class WorldPipeline:
         if coarse_list:
             self.coarse.ensure_regions(coarse_list)
 
-    def get_many(self, queries, with_climate: bool = True) -> list:
+    def get_many(self, queries, with_climate: bool = True,
+                 pack_wire: bool = False) -> list:
         """Batched get(): one coalesced generation pass over all queries,
         then per-query composition (results identical to sequential get)."""
         self._timed("prefetch", lambda: self.prefetch(queries, with_climate))
-        return [self.get(i1, j1, i2, j2, with_climate=with_climate)
+        return [self.get(i1, j1, i2, j2, with_climate=with_climate,
+                         pack_wire=pack_wire)
                 for (i1, j1, i2, j2) in queries]

@@ -78,6 +78,8 @@ def _parse_quad(req):
 
 
 def _elev_to_int16(elev: np.ndarray) -> np.ndarray:
+    if elev.dtype == np.int16:  # already packed on device (pack_wire path)
+        return elev.astype("<i2", copy=False)
     trans = np.floor(elev.astype(np.float32, copy=False))
     return np.clip(trans, -32768, 32767).astype("<i2", copy=False)
 
@@ -107,7 +109,10 @@ def _bilinear_up(arr: np.ndarray, scale: int) -> np.ndarray:
 def get_terrain(world, i1: int, j1: int, i2: int, j2: int, scale: int) -> dict:
     """Terrain at arbitrary scale (target coords); scale>1 supersamples."""
     if scale == 1:
-        out = world.get(i1, j1, i2, j2, with_climate=True)
+        # pack the wire formats on device: int16 elevation (bit-identical
+        # to _elev_to_int16) and f16 climate — halves tunnel/PCIe fetch
+        # bytes per query
+        out = world.get(i1, j1, i2, j2, with_climate=True, pack_wire=True)
         return {"elev": out["elev"], "climate": out.get("climate")}
     i1n, j1n = i1 // scale, j1 // scale
     i2n, j2n = -(-i2 // scale), -(-j2 // scale)

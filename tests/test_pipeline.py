@@ -229,3 +229,17 @@ def test_mesh_tile_parallel(models):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
     lat = p.latents[:, 0:8, 0:8]
     assert np.isfinite(lat).all()
+
+
+def test_pack_wire_matches_host_conversion(pipe):
+    """pack_wire=True must return int16 elevation bit-identical to the host
+    floor/clip conversion and f16 climate within f16 rounding."""
+    ref = pipe.get(7, 13, 71, 77)
+    packed = pipe.get(7, 13, 71, 77, pack_wire=True)
+    assert packed["elev"].dtype == np.int16
+    expect = np.clip(np.floor(ref["elev"]), -32768, 32767).astype(np.int16)
+    np.testing.assert_array_equal(packed["elev"], expect)
+    assert packed["climate"].dtype == np.float16
+    np.testing.assert_allclose(
+        packed["climate"].astype(np.float32), ref["climate"],
+        rtol=2e-3, atol=1e-3)
