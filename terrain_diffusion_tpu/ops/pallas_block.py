@@ -196,6 +196,11 @@ def block_eligible(x, *, conv_type="default", resample_mode="keep",
     N, H, W, C = x.shape
     if H < 8 or W % 8 or W < 128:
         return False  # tiny maps: XLA is fine, tiling constraints are not
+    if tile_rows is None and min_pixels and N >= 8:
+        # measured on v5e: at batch >= 8 XLA abandons the space-to-batch
+        # rewrite and its convs edge out the kernel (16.8 vs 19.6 ms/img on
+        # the full decoder) - keep XLA for large coalesced batches
+        return False
     if tile_rows is None and H * W < min_pixels:
         # measured on v5e: the kernel wins 1.3-2.6x from 128x128 up
         # (XLA's space-to-batch conv rewrite is bandwidth-bound there,
@@ -310,8 +315,8 @@ def conv3x3_eligible(x, tile_rows=None):
     if x.ndim != 4:
         return False
     N, H, W, C = x.shape
-    if H < 8 or W % 8 or W < 128 or H * W < 128 * 128:
-        return False
+    if H < 8 or W % 8 or W < 128 or H * W < 128 * 128 or N >= 8:
+        return False  # batch >= 8: XLA convs win (see block_eligible)
     return H % _pick_tile_rows(H, W, C, C, tile_rows) == 0
 
 
