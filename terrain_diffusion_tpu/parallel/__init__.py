@@ -1,5 +1,7 @@
 from terrain_diffusion_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
-    shard_batch,
     replicate,
+    shard_batch,
+    shard_spatial,
+    spatial_model,
 )

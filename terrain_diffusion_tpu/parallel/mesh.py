@@ -50,3 +50,31 @@ def replicate(mesh: Mesh, tree):
 
 def batch_pspec(axis: str = "data"):
     return P(axis)
+
+
+def shard_spatial(mesh: Mesh, x, dim: int = 1, axis: str = "data"):
+    """Shard one SPATIAL dimension of x across the mesh (row-partitioned
+    images).  Under jit, XLA's SPMD partitioner turns every conv that reads
+    across the cut into a local conv + halo exchange over ICI — latency
+    parallelism for a single large-map forward (e.g. one 512x512 decode
+    split over 8 chips), complementing the batch/tile parallelism above.
+
+    Use with the XLA block path: Pallas custom calls are opaque to the
+    SPMD partitioner, so spatially-sharded models must be built without
+    block_impl='pallas' (see `spatial_model`).
+    """
+    spec = [None] * x.ndim
+    spec[dim] = axis
+    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+
+def spatial_model(model):
+    """Clone of an EDMUnet2D/EDMAutoencoder with runtime kernel selectors
+    stripped from block_kwargs, safe for spatially-sharded (SPMD) runs."""
+    import dataclasses
+
+    bk = {k: v for k, v in (model.config.block_kwargs or {}).items()
+          if k not in ("block_impl",)}
+    if bk == (model.config.block_kwargs or {}):
+        return model
+    return type(model)(dataclasses.replace(model.config, block_kwargs=bk))

@@ -243,3 +243,34 @@ def test_pack_wire_matches_host_conversion(pipe):
     np.testing.assert_allclose(
         packed["climate"].astype(np.float32), ref["climate"],
         rtol=2e-3, atol=1e-3)
+
+
+def test_spatial_sharded_decode_matches_single_device(rng):
+    """Row-sharding a large-map forward over the 8-device mesh (XLA SPMD
+    halo exchange) must reproduce the single-device result."""
+    import jax
+    import jax.numpy as jnp
+    from terrain_diffusion_tpu.nn import EDMUnet2D, EDMUnetConfig
+    from terrain_diffusion_tpu.parallel import make_mesh
+    from terrain_diffusion_tpu.parallel.mesh import (replicate, shard_spatial,
+                                                     spatial_model)
+
+    model = EDMUnet2D(EDMUnetConfig(
+        image_size=128, in_channels=3, out_channels=1, model_channels=16,
+        model_channel_mults=(1, 2), layers_per_block=1, attn_resolutions=(),
+        midblock_attention=False, conditional_inputs=(), fourier_scale="pos",
+        disable_out_gain=True, block_kwargs={"block_impl": "pallas"}))
+    p = jax.jit(model.init)(jax.random.key(0))
+    x = jnp.asarray(rng.standard_normal((1, 128, 128, 3)), jnp.float32)
+    nl = jnp.full((1,), 0.8, jnp.float32)
+    ref = model.apply(p, x, nl, [])
+
+    mesh = make_mesh()
+    sp = spatial_model(model)  # strips block_impl for SPMD partitioning
+    assert "block_impl" not in (sp.config.block_kwargs or {})
+    xs = shard_spatial(mesh, x, dim=1)
+    ps = replicate(mesh, p)
+    out = jax.jit(lambda pp, xx, nn: sp.apply(pp, xx, nn, []))(ps, xs, nl)
+    assert len(out.sharding.device_set) == len(mesh.devices.ravel())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
