@@ -226,7 +226,7 @@ class EDMUnet2D:
         bi = 0
         for name, kind, cin, cout, opts in self.enc_plan:
             if kind == "conv":
-                x = L.mp_conv_apply(params["enc"][name], x, compute_dtype=dt)
+                x = self._in_conv(params["enc"][name], x, dt)
             else:
                 x = L.unet_block_apply(
                     params["enc"][name], x, emb,
@@ -253,6 +253,20 @@ class EDMUnet2D:
             logvar = logvar.reshape(-1, 1, 1, cfg.n_logvar)
             return x, logvar
         return x
+
+    # ------------------------------------------------------------------
+    def _in_conv(self, p, x, dt):
+        """Input 3x3 conv; fused Pallas on large maps under block_impl
+        'pallas' (same rationale as _out_conv)."""
+        impl = (self.config.block_kwargs or {}).get("block_impl", "xla")
+        if impl in ("pallas", "pallas_interpret"):
+            interp = impl == "pallas_interpret"
+            from terrain_diffusion_tpu.ops import pallas_block as pb
+            if (interp or jax.default_backend() == "tpu") and \
+                    pb.conv3x3_eligible(x):
+                w = mp.normalize(p["w"]) / np.sqrt(int(np.prod(p["w"].shape[:-1])))
+                return pb.fused_conv3x3_apply(x.astype(dt), w, interpret=interp)
+        return L.mp_conv_apply(p, x, compute_dtype=dt)
 
     # ------------------------------------------------------------------
     def _out_conv(self, params, x, gain, dt):

@@ -187,8 +187,8 @@ def block_eligible(x, *, conv_type="default", resample_mode="keep",
     """Whether the fused kernel covers this block's conv body exactly."""
     if conv_type != "default" or no_padding or expansion_factor != 1:
         return False
-    if training and dropout > 0:
-        return False
+    if training:
+        return False  # inference-only: the kernel defines no VJP
     if activation != "silu":
         return False
     if x.ndim != 4:
@@ -317,7 +317,7 @@ def conv3x3_eligible(x, tile_rows=None):
     N, H, W, C = x.shape
     if H < 8 or W % 8 or W < 128 or H * W < 128 * 128 or N >= 8:
         return False  # batch >= 8: XLA convs win (see block_eligible)
-    return H % _pick_tile_rows(H, W, C, C, tile_rows) == 0
+    return H % _pick_tile_rows(H, W, max(C, 128), max(C, 128), tile_rows) == 0
 
 
 @functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
@@ -331,7 +331,10 @@ def fused_conv3x3_apply(x, w, *, tile_rows=None, interpret=False):
     N, H, W, Cin = x.shape
     Cout = w.shape[-1]
     dt = x.dtype
-    th = _pick_tile_rows(H, W, Cin, Cin, tile_rows)
+    # VMEM lanes pad the channel dim to 128: budget tiles on the padded
+    # width so narrow-channel inputs (e.g. the 6-channel network input)
+    # don't blow the pipeline windows
+    th = _pick_tile_rows(H, W, max(Cin, 128), max(Cin, 128), tile_rows)
     assert H % th == 0, (H, th)
     xspec = lambda off: pl.BlockSpec(
         (1, th, W, Cin),
