@@ -73,9 +73,9 @@ class RequestCoalescer:
     # Client surface (any thread)
     # ------------------------------------------------------------------
     def get_terrain(self, i1: int, j1: int, i2: int, j2: int,
-                    with_climate: bool = True) -> dict:
+                    with_climate: bool = True, pack_wire: bool = False) -> dict:
         job = _Job("terrain", ((int(i1), int(j1), int(i2), int(j2)),
-                               bool(with_climate)))
+                               bool(with_climate), bool(pack_wire)))
         self._submit(job)
         return job.wait()
 
@@ -147,10 +147,11 @@ class RequestCoalescer:
                 j.finish(error=e)
             return stop
         for j in terrain_jobs:
-            (i1, j1_, i2, j2), with_climate = j.payload
+            (i1, j1_, i2, j2), with_climate, pack_wire = j.payload
             try:
                 j.finish(result=self.world.get(i1, j1_, i2, j2,
-                                               with_climate=with_climate))
+                                               with_climate=with_climate,
+                                               pack_wire=pack_wire))
             except Exception as e:  # noqa: BLE001
                 j.finish(error=e)
         return stop
@@ -172,12 +173,16 @@ class CoalescedPipeline:
         self._world = world
         self._coalescer = RequestCoalescer(world, max_batch=max_batch)
 
-    def get(self, i1, j1, i2, j2, with_climate: bool = True) -> dict:
-        return self._coalescer.get_terrain(i1, j1, i2, j2, with_climate)
+    def get(self, i1, j1, i2, j2, with_climate: bool = True,
+            pack_wire: bool = False) -> dict:
+        return self._coalescer.get_terrain(i1, j1, i2, j2, with_climate,
+                                           pack_wire)
 
-    def get_many(self, queries, with_climate: bool = True) -> list:
+    def get_many(self, queries, with_climate: bool = True,
+                 pack_wire: bool = False) -> list:
         return self._coalescer.run(
-            lambda w: w.get_many(queries, with_climate=with_climate))
+            lambda w: w.get_many(queries, with_climate=with_climate,
+                                 pack_wire=pack_wire))
 
     def close(self):
         self._coalescer.close()

@@ -31,16 +31,20 @@ class FakeWorld:
         self.prefetch_batches.append(list(queries))
         time.sleep(self.prefetch_s)
 
-    def get_many(self, queries, with_climate=True):
+    def get_many(self, queries, with_climate=True, pack_wire=False):
         self.prefetch(queries, with_climate)
-        return [self.get(*q, with_climate=with_climate) for q in queries]
+        return [self.get(*q, with_climate=with_climate, pack_wire=pack_wire)
+                for q in queries]
 
-    def get(self, i1, j1, i2, j2, with_climate=True):
+    def get(self, i1, j1, i2, j2, with_climate=True, pack_wire=False):
         self.touch_threads.add(threading.current_thread().name)
-        self.get_calls.append((i1, j1, i2, j2))
+        self.get_calls.append((i1, j1, i2, j2, pack_wire))
         elev = np.full((i2 - i1, j2 - j1), float(i1 * 1000 + j1), np.float32)
+        if pack_wire:
+            elev = elev.astype(np.int16)
         return {"elev": elev,
-                "climate": np.zeros((5, i2 - i1, j2 - j1), np.float32)
+                "climate": np.zeros((5, i2 - i1, j2 - j1),
+                                    np.float16 if pack_wire else np.float32)
                 if with_climate else None}
 
     def change_seed(self, seed=None):
@@ -177,3 +181,17 @@ def test_mc_api_threaded_mode_uses_coalesced_pipeline():
     out = p.get(0, 0, 4, 4)
     assert out["elev"].shape == (4, 4)
     mc.configure()
+
+
+def test_pack_wire_flows_through_facade():
+    """serving/api.py requests pack_wire=True at scale 1; the coalescer
+    must forward it to the underlying pipeline (regression: TypeError in
+    --threaded mode)."""
+    world = FakeWorld(prefetch_s=0.0)
+    p = CoalescedPipeline(world)
+    out = p.get(0, 0, 4, 4, pack_wire=True)
+    assert out["elev"].dtype == np.int16
+    assert world.get_calls[-1][-1] is True
+    out = p.get_many([(0, 0, 4, 4)], pack_wire=True)
+    assert out[0]["elev"].dtype == np.int16
+    p.close()
