@@ -62,6 +62,13 @@ def _shifted_pair(a):
     return a_m1, a_p1
 
 
+def _dot_precision(dtype):
+    """bf16 inputs: native MXU passes.  f32 inputs: HIGHEST (multi-pass) so
+    the fused path keeps f32-grade accuracy like XLA's f32 convs do."""
+    return (jax.lax.Precision.HIGHEST
+            if jnp.dtype(dtype) == jnp.float32 else jax.lax.Precision.DEFAULT)
+
+
 def _conv3x3(a, w_ref, rows_out, acc_dtype, pack_taps):
     """3x3 conv over a (R, W, Cin) with weights w_ref (3, 3, Cin, Cout).
 
@@ -70,6 +77,7 @@ def _conv3x3(a, w_ref, rows_out, acc_dtype, pack_taps):
     """
     R, W, Cin = a.shape
     Cout = w_ref.shape[-1]
+    prec = _dot_precision(a.dtype)
     a_m1, a_p1 = _shifted_pair(a)
     acc = jnp.zeros((rows_out * W, Cout), acc_dtype)
     if pack_taps:
@@ -79,7 +87,7 @@ def _conv3x3(a, w_ref, rows_out, acc_dtype, pack_taps):
             acc = acc + jax.lax.dot_general(
                 lhs, w_ref[dy].reshape(3 * Cin, Cout),
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=acc_dtype)
+                preferred_element_type=acc_dtype, precision=prec)
     else:
         for dy in range(3):
             for dx, buf in ((0, a_m1), (1, a), (2, a_p1)):
@@ -87,7 +95,7 @@ def _conv3x3(a, w_ref, rows_out, acc_dtype, pack_taps):
                 acc = acc + jax.lax.dot_general(
                     lhs, w_ref[dy, dx],
                     dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=acc_dtype)
+                    preferred_element_type=acc_dtype, precision=prec)
     return acc.reshape(rows_out, W, Cout)
 
 
@@ -130,7 +138,9 @@ def _block_kernel(xm1_ref, x_ref, xp1_ref, w0_ref, w1_ref, c_ref, *rest,
                 xs.reshape((TH + 4) * W, Cin).astype(compute_dtype),
                 wsk_ref[...],
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=f32).reshape(TH + 4, W, Cproj)
+                preferred_element_type=f32,
+                precision=_dot_precision(compute_dtype),
+            ).reshape(TH + 4, W, Cproj)
         if pixel_norm:
             rms = jnp.sqrt(jnp.mean(jnp.square(xs), axis=-1, keepdims=True))
             xs = xs / (1e-4 + rms)
@@ -143,7 +153,9 @@ def _block_kernel(xm1_ref, x_ref, xp1_ref, w0_ref, w1_ref, c_ref, *rest,
                 xres.reshape(TH * W, xres.shape[-1]).astype(compute_dtype),
                 wsk_ref[...],
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=f32).reshape(TH, W, Cproj)
+                preferred_element_type=f32,
+                precision=_dot_precision(compute_dtype),
+            ).reshape(TH, W, Cproj)
 
     # ---- first conv over silu(xs); 1/0.596 is folded into w0
     a = _silu(xs).astype(compute_dtype)
@@ -166,14 +178,15 @@ def _block_kernel(xm1_ref, x_ref, xp1_ref, w0_ref, w1_ref, c_ref, *rest,
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-def _pick_tile_rows(H, W, cin, cmid, tile_rows=None):
+def _pick_tile_rows(H, W, cin, cmid, tile_rows=None, itemsize=2):
     if tile_rows is not None:
         return tile_rows
     # ~2 MB x-blocks: with triple-fetch double-buffered pipeline windows
     # plus the kernel's f32 accumulators and packed patches, this keeps the
-    # whole program inside v5e VMEM (bigger tiles OOM at 512x512x64)
+    # whole program inside v5e VMEM (bigger tiles OOM at 512x512x64).
+    # itemsize matters: f32 activations halve the rows per block
     budget = 2 * 1024 * 1024
-    th = max(8, budget // max(1, W * cin * 2))
+    th = max(8, budget // max(1, W * cin * itemsize))
     th = 1 << int(math.floor(math.log2(th)))
     while H % th:
         th //= 2
@@ -207,7 +220,7 @@ def block_eligible(x, *, conv_type="default", resample_mode="keep",
         # worst for narrow channels and skip-concat dec blocks); below
         # that XLA's convs are already compute-bound
         return False
-    th = _pick_tile_rows(H, W, C, C, tile_rows)
+    th = _pick_tile_rows(H, W, C, C, tile_rows, x.dtype.itemsize)
     return H % th == 0
 
 
@@ -243,7 +256,7 @@ def fused_block_apply(x, w0, w1, c, wskip=None, x2=None, *, mode="enc",
     Cmid = w0.shape[-1]
     Cout = w1.shape[-1]
     dt = x.dtype
-    th = _pick_tile_rows(H, W, Cin, Cmid, tile_rows)
+    th = _pick_tile_rows(H, W, Cin, Cmid, tile_rows, dt.itemsize)
     assert H % th == 0, (H, th)
     if c is None:
         c = jnp.ones((N, Cmid), jnp.float32)
@@ -317,7 +330,8 @@ def conv3x3_eligible(x, tile_rows=None):
     N, H, W, C = x.shape
     if H < 8 or W % 8 or W < 128 or H * W < 128 * 128 or N >= 8:
         return False  # batch >= 8: XLA convs win (see block_eligible)
-    return H % _pick_tile_rows(H, W, max(C, 128), max(C, 128), tile_rows) == 0
+    return H % _pick_tile_rows(H, W, max(C, 128), max(C, 128), tile_rows,
+                               x.dtype.itemsize) == 0
 
 
 @functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
@@ -334,7 +348,8 @@ def fused_conv3x3_apply(x, w, *, tile_rows=None, interpret=False):
     # VMEM lanes pad the channel dim to 128: budget tiles on the padded
     # width so narrow-channel inputs (e.g. the 6-channel network input)
     # don't blow the pipeline windows
-    th = _pick_tile_rows(H, W, max(Cin, 128), max(Cin, 128), tile_rows)
+    th = _pick_tile_rows(H, W, max(Cin, 128), max(Cin, 128), tile_rows,
+                         dt.itemsize)
     assert H % th == 0, (H, th)
     xspec = lambda off: pl.BlockSpec(
         (1, th, W, Cin),

@@ -74,7 +74,7 @@ def spatial_model(model):
     import dataclasses
 
     bk = {k: v for k, v in (model.config.block_kwargs or {}).items()
-          if k not in ("block_impl",)}
+          if k not in ("block_impl", "attention_impl")}
     if bk == (model.config.block_kwargs or {}):
         return model
     return type(model)(dataclasses.replace(model.config, block_kwargs=bk))

@@ -437,6 +437,13 @@ class InfiniteTensor:
 
     def _evaluate_windows(self, idxs):
         max_b = self.batch_buckets[-1]
+        if self.device_cache is not None:
+            # a chunk larger than the atlas would wrap slots WITHIN one
+            # put_batch scatter — duplicate scatter indices have
+            # unspecified winners, so a still-mapped window could hold
+            # another window's rows.  Split instead (reachable when mesh
+            # bucket scaling exceeds the per-tensor atlas capacity)
+            max_b = min(max_b, self.device_cache.capacity)
         for i0 in range(0, len(idxs), max_b):
             chunk = idxs[i0 : i0 + max_b]
             self._evaluate_chunk(chunk)

@@ -65,6 +65,7 @@ class RequestCoalescer:
         self.max_batch = int(max_batch)
         self._queue: "queue.Queue[_Job]" = queue.Queue()
         self._closed = False
+        self._lifecycle = threading.Lock()  # serializes submit vs close
         self._thread = threading.Thread(
             target=self._loop, name="pipeline-coalescer", daemon=True)
         self._thread.start()
@@ -87,15 +88,20 @@ class RequestCoalescer:
         return job.wait()
 
     def _submit(self, job):
-        if self._closed:
-            raise RuntimeError("RequestCoalescer is closed")
-        self._queue.put(job)
+        # the check and the put must be atomic wrt close(): a job enqueued
+        # after the stop job would never be drained and its wait() would
+        # hang the handler thread forever
+        with self._lifecycle:
+            if self._closed:
+                raise RuntimeError("RequestCoalescer is closed")
+            self._queue.put(job)
 
     def close(self):
-        if self._closed:
-            return
-        self._closed = True
-        self._queue.put(_Job("stop", None))
+        with self._lifecycle:
+            if self._closed:
+                return
+            self._closed = True
+            self._queue.put(_Job("stop", None))
         self._thread.join(timeout=5)
 
     # ------------------------------------------------------------------
@@ -167,7 +173,7 @@ class CoalescedPipeline:
     """
 
     _MUTATORS = ("change_seed", "set_cond_snr", "set_custom_conditioning_import",
-                 "rebuild", "empty_cache")
+                 "rebuild", "empty_cache", "warmup", "prefetch")
 
     def __init__(self, world, max_batch: int = 16):
         self._world = world

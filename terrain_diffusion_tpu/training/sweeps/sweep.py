@@ -242,7 +242,10 @@ def run_sweep(objective, space: SweepSpace, n_trials: int = 40,
                     "pruned": pruned["flag"], "index": i})
         tag = " (pruned)" if pruned["flag"] else ""
         print(f"trial {i}: value={value:.5f}{tag} params={params}")
-    best = min(trials, key=lambda t: t["value"])
+    finished = [t for t in trials if not t.get("pruned")]
+    # pruned trials carry quarter-budget noisy estimates — never winners
+    # (reference: Optuna best_trial queries states=(COMPLETE,) only)
+    best = min(finished or trials, key=lambda t: t["value"])
     print(f"best: value={best['value']:.5f} params={best['params']}")
     return best
 

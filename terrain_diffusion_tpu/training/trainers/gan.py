@@ -168,14 +168,17 @@ class GANTrainer(TrainerBase):
             fake_c = crop(kc2, fake)
             all_images = jnp.concatenate([real_c, fake_c], axis=0)
 
-            def pred_sum(imgs):
-                return disc_pred(d_params, imgs).sum()
-
-            pred = disc_pred(d_params, all_images)
+            if with_r1:
+                # one vjp yields both predictions and the input gradient,
+                # instead of a second full discriminator forward
+                pred, vjp_fn = jax.vjp(
+                    lambda imgs: disc_pred(d_params, imgs), all_images)
+            else:
+                pred = disc_pred(d_params, all_images)
             real_pred, fake_pred = pred[:B], pred[B:]
             d_loss = jax.nn.softplus(fake_pred - real_pred).mean()
             if with_r1:
-                grad_in = jax.grad(pred_sum)(all_images)
+                (grad_in,) = vjp_fn(jnp.ones_like(pred))
                 r_reg = 0.5 * jnp.square(grad_in).reshape(2 * B, -1).sum(1).mean()
                 total = d_loss + r_gamma * r_reg
             else:

@@ -132,3 +132,26 @@ def test_e2e_kid_objective_sweep(rng):
     best = run_sweep(objective, space, n_trials=10, seed=0,
                      n_startup_trials=4, prune_probability_threshold=0.1)
     assert 0.6 < best["params"]["gain"] < 1.7, best
+
+
+def test_pruned_trials_never_win():
+    """A pruned trial's low-budget noisy estimate must not be returned as
+    the sweep winner (reference: Optuna best_trial considers COMPLETE
+    trials only).  With an aggressive threshold the rule prunes trials
+    whose noisy mean is slightly BETTER than the incumbent, so without the
+    completed-only filter the pruned estimate would win min()."""
+    space = SweepSpace({"x": (0.0, 1.0, False)})
+    state = {"i": -1}
+
+    def objective(p, report):
+        state["i"] += 1
+        if state["i"] == 0:
+            return 0.5, 0.0  # completes; the true best completed value
+        # noisy mean marginally better than the incumbent -> pruned at an
+        # aggressive threshold, recorded value 0.49 < 0.5
+        report(0.49, 1.0)
+        return 0.49, 1.0
+
+    best = run_sweep(objective, space, n_trials=5, seed=3,
+                     prune_probability_threshold=0.9999)
+    assert best["value"] == 0.5 and not best.get("pruned")
