@@ -125,3 +125,24 @@ def test_fused_out_conv_matches_xla(rng):
     w = mp.normalize(p["w"]) * (0.7 / np.sqrt(9 * 32))
     out = pb.fused_conv3x3_apply(x, w, interpret=True)
     assert _rel_err(ref, out) < 1e-5
+
+
+def test_eligibility_routing_matrix():
+    """Wiring guard: the production decoder shapes must stay routed to the
+    fused kernel in the regimes where it was measured to win, and must
+    fall back everywhere else."""
+    x = lambda n, h, w, c: jnp.zeros((n, h, w, c), jnp.bfloat16)
+    # serving latency regime: fused
+    assert pb.block_eligible(x(2, 512, 512, 64))
+    assert pb.block_eligible(x(2, 512, 512, 128))   # dec skip concat width
+    assert pb.block_eligible(x(1, 256, 256, 128))
+    assert pb.block_eligible(x(2, 128, 128, 192))
+    # measured XLA-wins regimes: fall back
+    assert not pb.block_eligible(x(8, 512, 512, 64))    # batch crossover
+    assert not pb.block_eligible(x(2, 64, 64, 192))     # small maps (base)
+    assert not pb.block_eligible(x(2, 512, 512, 64), training=True)
+    assert not pb.block_eligible(x(2, 512, 512, 64), conv_type="mobile")
+    # out/in conv routing
+    assert pb.conv3x3_eligible(x(2, 512, 512, 64))
+    assert pb.conv3x3_eligible(x(2, 512, 512, 6))
+    assert not pb.conv3x3_eligible(x(8, 512, 512, 64))
