@@ -99,15 +99,18 @@ else:
         B, H, IC = 16, 64, 5
         cond_args = [jnp.asarray(rng.standard_normal((B, 58)), jnp.float32)]
     else:
-        mc = int(stage[7:])
+        spec = stage[7:]
+        use_xla = spec.endswith("xla")
+        mc = int(spec[:-3] if use_xla else spec)
+        # serving default (WorldPipeline block_impl) is fused Pallas
+        # residual blocks; the *xla variant is the fallback measurement if
+        # the Mosaic compile path is unavailable on the run host
+        bk = {} if use_xla else {"block_impl": "pallas"}
         model = EDMUnet2D(EDMUnetConfig(
             image_size=512, in_channels=5, out_channels=1, model_channels=mc,
             model_channel_mults=(1, 2, 3, 4), layers_per_block=3,
             attn_resolutions=(), midblock_attention=False, concat_balance=0.5,
-            conditional_inputs=(), fourier_scale="pos",
-            # serving default (WorldPipeline block_impl): fused Pallas
-            # residual blocks on the large-map levels
-            block_kwargs={"block_impl": "pallas"}))
+            conditional_inputs=(), fourier_scale="pos", block_kwargs=bk))
         B, H, IC = 2, 512, 5
         cond_args = []
     p = jax.jit(model.init)(jax.random.key(0))
@@ -170,11 +173,11 @@ def main():
                              f"(192ch exceeded the compile budget)")
             break
     decoder = None
-    for width in (64, 32):
-        decoder = run_stage(f"decoder{width}", budget)
+    for variant in ("64", "64xla", "32", "32xla"):
+        decoder = run_stage(f"decoder{variant}", budget)
         if decoder:
-            if width != 64:
-                notes.append(f"decoder measured at {width}ch")
+            if variant != "64":
+                notes.append(f"decoder measured as decoder{variant}")
             break
 
     detail = {}

@@ -259,7 +259,7 @@ def _attention(p, x, num_heads: int, compute_dtype, attention_impl: str = "xla")
 def _fused_block(p, x, emb, *, mode, conv_type, dropout, res_balance,
                  clip_act, expansion_factor, no_padding, activation,
                  training, compute_dtype, interpret, x2=None,
-                 concat_scales=None):
+                 concat_scales=None, pre_upsample=1):
     """Route the block's conv body through the fused Pallas kernel
     (ops/pallas_block.py) when shapes/options allow; None = fall back."""
     if "conv_res0" not in p:  # mobile conv layout
@@ -274,7 +274,8 @@ def _fused_block(p, x, emb, *, mode, conv_type, dropout, res_balance,
                              activation=activation,
                              # interpret mode is the CPU test path; the
                              # measured large-map-only cutover is for TPU
-                             min_pixels=0 if interpret else 128 * 128):
+                             min_pixels=0 if interpret else 128 * 128,
+                             pre_upsample=pre_upsample):
         return None
     dt = compute_dtype
 
@@ -297,7 +298,8 @@ def _fused_block(p, x, emb, *, mode, conv_type, dropout, res_balance,
         x.astype(dt), w0, w1, c, wskip,
         x2.astype(dt) if x2 is not None else None, mode=mode,
         pixel_norm=(mode == "enc"), res_balance=float(res_balance),
-        clip_act=clip_act, concat_scales=concat_scales, interpret=interpret)
+        clip_act=clip_act, concat_scales=concat_scales,
+        pre_upsample=pre_upsample, interpret=interpret)
 
 
 def unet_block_apply(
@@ -338,12 +340,17 @@ def unet_block_apply(
     num_heads = out_channels // channels_per_head if attention else 0
     dt = compute_dtype or x.dtype
 
+    # parameter-free nearest-up can run INSIDE the fused kernel (no HBM
+    # materialization of the upsampled map); defer it when pallas is on
+    defer_up = (block_impl in ("pallas", "pallas_interpret")
+                and resample_mode == "up" and "resample" not in p
+                and skip_input is None)
     if "resample" in p:
         x = mp_conv_resample_apply(
             p["resample"], x, resample_mode,
             skip_weight=_unused.get("resample_skip_weight", 0.5),
             compute_dtype=dt)
-    else:
+    elif not defer_up:
         x = resample(x, resample_mode)
 
     if block_impl in ("pallas", "pallas_interpret"):
@@ -365,7 +372,10 @@ def unet_block_apply(
                              no_padding=no_padding, activation=activation,
                              training=training, compute_dtype=dt,
                              interpret=block_impl == "pallas_interpret",
-                             x2=x2, concat_scales=cscales)
+                             x2=x2, concat_scales=cscales,
+                             pre_upsample=2 if defer_up else 1)
+        if fused is None and defer_up:
+            x = resample(x, "up")  # kernel ineligible: XLA upsample
         if fused is not None:
             x = fused
             if num_heads > 0:

@@ -101,7 +101,7 @@ def _conv3x3(a, w_ref, rows_out, acc_dtype, pack_taps):
 
 def _block_kernel(xm1_ref, x_ref, xp1_ref, w0_ref, w1_ref, c_ref, *rest,
                   H, mode, pixel_norm, res_balance, clip_act, has_skip,
-                  concat_scales, compute_dtype):
+                  concat_scales, pre_up, compute_dtype):
     rest = list(rest)
     if concat_scales is not None:
         x2m1_ref, x2_ref, x2p1_ref = rest[:3]
@@ -112,13 +112,23 @@ def _block_kernel(xm1_ref, x_ref, xp1_ref, w0_ref, w1_ref, c_ref, *rest,
         (o_ref,) = rest
     n = pl.program_id(0)
     i = pl.program_id(1)
-    TH, W, Cin = x_ref.shape[1:]
+    if pre_up:
+        # input refs are HALF resolution: assemble (TH/2+2) rows and
+        # nearest-x2 upsample in VMEM (the XLA path materializes the
+        # upsampled map in HBM first)
+        THh, Wh, Cin = x_ref.shape[1:]
+        TH, W = 2 * THh, 2 * Wh
+        xs = jnp.concatenate(
+            [xm1_ref[0, THh - 1:], x_ref[0], xp1_ref[0, :1]], axis=0)
+        xs = jnp.repeat(jnp.repeat(xs, 2, axis=0), 2, axis=1)  # (TH+4,W,Cin)
+    else:
+        TH, W, Cin = x_ref.shape[1:]
+        xs = jnp.concatenate(
+            [xm1_ref[0, TH - 2:], x_ref[0], xp1_ref[0, :2]], axis=0)
     Cmid = w0_ref.shape[-1]
     f32 = jnp.float32
 
-    # ---- assemble rows [i*TH-2, i*TH+TH+2) with out-of-image rows zeroed
-    xs = jnp.concatenate(
-        [xm1_ref[0, TH - 2:], x_ref[0], xp1_ref[0, :2]], axis=0)  # (TH+4,W,Cin)
+    # ---- rows [i*TH-2, i*TH+TH+2) with out-of-image rows zeroed
     r0 = i * TH - 2
     rmask = _row_mask(TH + 4, r0, H, f32)
     xs = xs.astype(f32) * rmask
@@ -196,7 +206,7 @@ def _pick_tile_rows(H, W, cin, cmid, tile_rows=None, itemsize=2):
 def block_eligible(x, *, conv_type="default", resample_mode="keep",
                    training=False, dropout=0.0, no_padding=False,
                    expansion_factor=1, activation="silu", tile_rows=None,
-                   min_pixels=128 * 128):
+                   min_pixels=128 * 128, pre_upsample=1):
     """Whether the fused kernel covers this block's conv body exactly."""
     if conv_type != "default" or no_padding or expansion_factor != 1:
         return False
@@ -207,6 +217,7 @@ def block_eligible(x, *, conv_type="default", resample_mode="keep",
     if x.ndim != 4:
         return False
     N, H, W, C = x.shape
+    H, W = H * pre_upsample, W * pre_upsample  # kernel output resolution
     if H < 8 or W % 8 or W < 128:
         return False  # tiny maps: XLA is fine, tiling constraints are not
     if tile_rows is None and min_pixels and N >= 8:
@@ -227,10 +238,12 @@ def block_eligible(x, *, conv_type="default", resample_mode="keep",
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "pixel_norm", "res_balance", "clip_act",
-                     "tile_rows", "concat_scales", "interpret"))
+                     "tile_rows", "concat_scales", "pre_upsample",
+                     "interpret"))
 def fused_block_apply(x, w0, w1, c, wskip=None, x2=None, *, mode="enc",
                       pixel_norm=True, res_balance=0.3, clip_act=256.0,
-                      tile_rows=None, concat_scales=None, interpret=False):
+                      tile_rows=None, concat_scales=None, pre_upsample=1,
+                      interpret=False):
     """Fused residual-block forward.
 
     x      : (N, H, W, Cin) activations (bf16 or f32).
@@ -249,9 +262,12 @@ def fused_block_apply(x, w0, w1, c, wskip=None, x2=None, *, mode="enc",
     The mp_silu 1/0.596 magnitude correction is folded into w0/w1 here, so
     callers pass plain normalized weights.
     """
+    u = int(pre_upsample)
+    assert u in (1, 2), pre_upsample
     N, H, W, Cin = x.shape
+    H, W = H * u, W * u  # kernel output resolution
     if x2 is not None:
-        assert x2.shape == x.shape and concat_scales is not None
+        assert x2.shape == x.shape and concat_scales is not None and u == 1
         Cin = 2 * Cin  # kernel-internal concat width
     Cmid = w0.shape[-1]
     Cout = w1.shape[-1]
@@ -266,7 +282,7 @@ def fused_block_apply(x, w0, w1, c, wskip=None, x2=None, *, mode="enc",
 
     grid = (N, H // th)
     xspec = lambda off: pl.BlockSpec(
-        (1, th, W, x.shape[-1]),
+        (1, th // u, W // u, x.shape[-1]),
         (lambda n, i: (n, jnp.clip(i + off, 0, H // th - 1), 0, 0)),
         memory_space=pltpu.VMEM)
     in_specs = [
@@ -289,7 +305,7 @@ def fused_block_apply(x, w0, w1, c, wskip=None, x2=None, *, mode="enc",
         res_balance=float(res_balance),
         clip_act=None if clip_act is None else float(clip_act),
         has_skip=wskip is not None, concat_scales=concat_scales,
-        compute_dtype=dt)
+        pre_up=(u == 2), compute_dtype=dt)
     flops = 2 * N * H * W * (9 * w0.shape[2] * Cmid + 9 * Cmid * Cout
                              + (w0.shape[2] * Cout if wskip is not None else 0))
     bytes_accessed = x.size * x.dtype.itemsize + N * H * W * Cout * x.dtype.itemsize

@@ -146,3 +146,16 @@ def test_eligibility_routing_matrix():
     assert pb.conv3x3_eligible(x(2, 512, 512, 64))
     assert pb.conv3x3_eligible(x(2, 512, 512, 6))
     assert not pb.conv3x3_eligible(x(8, 512, 512, 64))
+
+
+def test_fused_up_block_matches_xla(rng):
+    """dec up-block with the nearest-x2 upsample fused into the kernel
+    (half-res inputs) must match the XLA repeat + block path."""
+    p = L.unet_block_init(KEY, 32, 32, 16, mode="dec", resample_mode="up")
+    x = jnp.asarray(rng.standard_normal((2, 16, 64, 32)), jnp.float32)
+    emb = jnp.asarray(rng.standard_normal((2, 16)), jnp.float32)
+    ref = L.unet_block_apply(p, x, emb, mode="dec", resample_mode="up")
+    out = L.unet_block_apply(p, x, emb, mode="dec", resample_mode="up",
+                             block_impl="pallas_interpret")
+    assert ref.shape == out.shape == (2, 32, 128, 32)
+    assert 0 < _rel_err(ref, out) < 1e-5
