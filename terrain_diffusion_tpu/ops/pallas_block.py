@@ -50,6 +50,16 @@ def _row_mask(shape_rows, r0, H, dtype):
     return ((rows >= 0) & (rows < H)).astype(dtype)
 
 
+def _nearest_up2(x, interpret):
+    """Nearest x2 upsample of (R, W, C) along rows and W.  Compiled mode
+    uses pltpu.repeat (`jnp.repeat`'s reshape lowering hits Mosaic's
+    "unsupported shape cast"); the interpreter lacks pltpu.repeat, so the
+    CPU test path keeps the jnp form."""
+    if interpret:
+        return jnp.repeat(jnp.repeat(x, 2, axis=0), 2, axis=1)
+    return pltpu.repeat(pltpu.repeat(x, 2, axis=0), 2, axis=1)
+
+
 def _shifted_pair(a):
     """(a shifted right with col0 zeroed, a shifted left with last col zeroed).
 
@@ -101,7 +111,7 @@ def _conv3x3(a, w_ref, rows_out, acc_dtype, pack_taps):
 
 def _block_kernel(xm1_ref, x_ref, xp1_ref, w0_ref, w1_ref, c_ref, *rest,
                   H, mode, pixel_norm, res_balance, clip_act, has_skip,
-                  concat_scales, pre_up, compute_dtype):
+                  concat_scales, pre_up, compute_dtype, interpret=False):
     rest = list(rest)
     if concat_scales is not None:
         x2m1_ref, x2_ref, x2p1_ref = rest[:3]
@@ -120,7 +130,7 @@ def _block_kernel(xm1_ref, x_ref, xp1_ref, w0_ref, w1_ref, c_ref, *rest,
         TH, W = 2 * THh, 2 * Wh
         xs = jnp.concatenate(
             [xm1_ref[0, THh - 1:], x_ref[0], xp1_ref[0, :1]], axis=0)
-        xs = jnp.repeat(jnp.repeat(xs, 2, axis=0), 2, axis=1)  # (TH+4,W,Cin)
+        xs = _nearest_up2(xs, interpret)  # (TH+4, W, Cin)
     else:
         TH, W, Cin = x_ref.shape[1:]
         xs = jnp.concatenate(
@@ -305,7 +315,7 @@ def fused_block_apply(x, w0, w1, c, wskip=None, x2=None, *, mode="enc",
         res_balance=float(res_balance),
         clip_act=None if clip_act is None else float(clip_act),
         has_skip=wskip is not None, concat_scales=concat_scales,
-        pre_up=(u == 2), compute_dtype=dt)
+        pre_up=(u == 2), compute_dtype=dt, interpret=interpret)
     flops = 2 * N * H * W * (9 * w0.shape[2] * Cmid + 9 * Cmid * Cout
                              + (w0.shape[2] * Cout if wskip is not None else 0))
     bytes_accessed = x.size * x.dtype.itemsize + N * H * W * Cout * x.dtype.itemsize
