@@ -201,12 +201,16 @@ def _block_kernel(xm1_ref, x_ref, xp1_ref, w0_ref, w1_ref, c_ref, *rest,
 def _pick_tile_rows(H, W, cin, cmid, tile_rows=None, itemsize=2):
     if tile_rows is not None:
         return tile_rows
-    # ~2 MB x-blocks: with triple-fetch double-buffered pipeline windows
-    # plus the kernel's f32 accumulators and packed patches, this keeps the
-    # whole program inside v5e VMEM (bigger tiles OOM at 512x512x64).
-    # itemsize matters: f32 activations halve the rows per block
+    # Two constraints, measured on v5e:
+    # - VMEM: ~2 MB x-blocks keep triple-fetch double-buffered pipeline
+    #   windows + f32 accumulators + packed patches on chip (bigger tiles
+    #   OOM at 512x512x64); f32 activations halve the rows per block.
+    # - pipelining: ~8192 pixels per tile is the grid sweet spot
+    #   (512-wide maps: th=16 runs 19% faster than th=32; 256-wide maps
+    #   prefer th=32) — smaller steps overlap fetch/compute better.
     budget = 2 * 1024 * 1024
-    th = max(8, budget // max(1, W * cin * itemsize))
+    th = max(8, min(budget // max(1, W * cin * itemsize),
+                    8192 // max(1, W)))
     th = 1 << int(math.floor(math.log2(th)))
     while H % th:
         th //= 2
