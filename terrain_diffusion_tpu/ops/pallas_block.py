@@ -13,7 +13,8 @@ Reference behaviour being fused: `unet_block.py:116-156` of the reference
 (see `terrain_diffusion_tpu.nn.layers.unet_block_apply`, the XLA path,
 which stays the default and the autodiff/training path).  The kernel is
 inference-only (no dropout) and covers `conv_type='default'` blocks; the
-attention tail and up/down resampling stay outside.
+attention tail, learned conv resampling, and downsampling stay outside
+(parameter-free nearest-up resampling is fused via `pre_upsample=2`).
 
 Convolution strategy: 3x3 conv as MXU matmuls with f32 accumulation.
 W-direction tap inputs are shifted copies (slice + zero column); H taps are
