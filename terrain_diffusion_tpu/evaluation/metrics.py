@@ -97,8 +97,23 @@ def frechet_distance(feats_a: np.ndarray, feats_b: np.ndarray) -> float:
 def kid(feats_a: np.ndarray, feats_b: np.ndarray, n_subsets: int = 100,
         subset_size: int | None = None, seed: int = 0) -> tuple[float, float]:
     """KID mean/std: unbiased MMD^2 with the standard polynomial kernel
-    k(x,y) = (x.y/d + 1)^3 over random subsets."""
+    k(x,y) = (x.y/d + 1)^3 over random subsets.
+
+    Features are standardized per-dimension by the POOLED (a+b) statistics
+    before the kernel.  The torchmetrics formulation the reference relies on
+    (trainers/diffusion.py:184-286) skips this because Inception features are
+    already ~unit-scale; our structural terrain features mix 0-255-scale dims
+    with 1e-2-scale gradient stats, so the raw cubic kernel both saturates
+    float32 (~1e12) and is dominated by the large-scale dims.  Pooled
+    standardization + float64 keeps the estimator a valid MMD^2 for a fixed
+    pair of sets and makes it discriminative.
+    """
     rng = np.random.default_rng(seed)
+    pooled = np.concatenate([feats_a, feats_b]).astype(np.float64)
+    mu = pooled.mean(0)
+    sd = np.maximum(pooled.std(0), 1e-8)
+    feats_a = (np.asarray(feats_a, np.float64) - mu) / sd
+    feats_b = (np.asarray(feats_b, np.float64) - mu) / sd
     n = min(len(feats_a), len(feats_b))
     m = subset_size or min(n, 1000)
     d = feats_a.shape[1]

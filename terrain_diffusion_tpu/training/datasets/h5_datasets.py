@@ -232,9 +232,17 @@ class H5LatentsDataset(_H5SubsetMixin):
             cs = self.crop_size
             if not self.eval_dataset:
                 if self.clip_edges:
+                    if shape[2] - cs <= 1 or shape[3] - cs <= 1:
+                        raise ValueError(
+                            f"crop_size={cs} leaves no 1-px border in a "
+                            f"{shape[2]}x{shape[3]} chunk; use "
+                            "clip_edges=False (extrapolated decode) for "
+                            "full-chunk crops")
                     i = int(self.rng.integers(1, shape[2] - cs))
                     j = int(self.rng.integers(1, shape[3] - cs))
                 else:
+                    # crop may equal the full chunk (e.g. full-canvas eval):
+                    # offset 0 is then the only valid choice
                     i = int(self.rng.integers(0, shape[2] - cs + 1))
                     j = int(self.rng.integers(0, shape[3] - cs + 1))
             else:
@@ -262,6 +270,28 @@ class H5LatentsDataset(_H5SubsetMixin):
                 lf = lf[..., 1:-1, 1:-1]
             lf = (lf - LOWFREQ_MEAN) / LOWFREQ_STD * self.sigma_data
 
+            ground_truth = None
+            if self.val_dset:
+                # real DEM ground truth: the raw residual crop at x8 the
+                # latent coords, laplacian-decoded against the raw lowfreq —
+                # signed-sqrt-space terrain at output resolution (reference
+                # `h5_latents_dataset.py:330-340,357`; consumed by
+                # evaluation/infinite_consistency.py's real side)
+                from terrain_diffusion_tpu.ops.laplacian import laplacian_decode
+
+                res8 = np.asarray(
+                    f[f"{group_path}/residual"][li * 8:(li + h) * 8,
+                                                lj * 8:(lj + w) * 8],
+                    np.float32)[None]
+                res8 = _apply_d4(res8, flip, rotate_k)
+                if self.clip_edges:
+                    gt = laplacian_decode(res8, lowfreq_padded, pre_padded=True)
+                else:
+                    gt = laplacian_decode(
+                        res8, self.denormalize_lowfreq(lf / self.sigma_data),
+                        extrapolate=True)
+                ground_truth = np.asarray(gt, np.float32)
+
             cond_img, noise_level = self._get_cond_image(
                 f, group_path, li, lj, h, w, flip, rotate_k)
             if _raw_cond:
@@ -272,9 +302,13 @@ class H5LatentsDataset(_H5SubsetMixin):
         cond_inputs = [cond_vec]
         if class_label is not None:
             cond_inputs.append(np.asarray(class_label))
-        return {"image": _chw_to_hwc(image).astype(np.float32),
-                "cond_inputs": cond_inputs, "path": group_path,
-                "histogram_raw": histogram_raw, "noise_level": noise_level}
+        out = {"image": _chw_to_hwc(image).astype(np.float32),
+               "cond_inputs": cond_inputs, "cond_inputs_img": cond_img,
+               "path": group_path,
+               "histogram_raw": histogram_raw, "noise_level": noise_level}
+        if ground_truth is not None:
+            out["ground_truth"] = _chw_to_hwc(ground_truth)
+        return out
 
     __getitem__ = getitem
 
@@ -409,9 +443,13 @@ class H5AutoencoderDataset(_H5SubsetMixin):
     def __init__(self, h5_file, crop_size, pct_land_ranges, subset_resolutions,
                  subset_weights=None, eval_dataset=False, split=None,
                  residual_mean=0.0, residual_std=1.0, sigma_data=0.5,
-                 square_elevation: bool = False):
+                 square_elevation: bool = False, signed_sqrt=None):
         import h5py
 
+        # reference config spelling (`autoencoder_x8_squared.cfg`):
+        # signed_sqrt=false means train on raw-meter (squared-back) residuals
+        if signed_sqrt is not None:
+            square_elevation = not signed_sqrt
         if subset_weights is None:
             subset_weights = [1] * len(pct_land_ranges)
         self.h5_file = h5_file
