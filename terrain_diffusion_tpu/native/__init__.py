@@ -2,18 +2,23 @@
 
 Replaces the reference's third-party native deps (numba-JIT portable RNG,
 pyfastnoiselite/FastNoiseLite C++) with first-party C++ exposed over a plain
-C ABI via ctypes.  Build with ``python -m terrain_diffusion_tpu.native.build``
-(done automatically on first import when a compiler is available).
+C ABI via ctypes.  Build explicitly with
+``python -m terrain_diffusion_tpu.native.build`` — importing this package
+NEVER shells out to a compiler; it only loads a prebuilt
+``libterrain_native.so`` if one is present.
 
-``lib`` is the loaded wrapper or raises ImportError if unavailable; callers
-(e.g. rng_portable, perlin) fall back to vectorized NumPy implementations.
+``lib`` is the loaded wrapper, or ``None`` if the prebuilt library is absent;
+callers (e.g. rng_portable, perlin) fall back to vectorized NumPy
+implementations.  Fallback cost on the serving hot path: the synthetic-map
+conditioning evaluates ~5 Perlin-FBm fields per coarse tile; the NumPy FBm is
+~8x slower per field (~3 ms vs ~0.4 ms per 64x64 tile) — noticeable only on
+coarse-stage cold starts, and amortized away by the tile caches.
 """
 from __future__ import annotations
 
 import ctypes
 import os
 import subprocess
-import sys
 
 import numpy as np
 
@@ -25,17 +30,41 @@ _SRCS = [
 ]
 
 
+_FAIL_MARKER = os.path.join(_HERE, ".build_failed")
+
+
 def build(force: bool = False) -> str:
-    """Compile the native library with g++; returns the .so path."""
-    if not force and os.path.exists(_SO_PATH):
-        newest_src = max(os.path.getmtime(s) for s in _SRCS)
-        if os.path.getmtime(_SO_PATH) >= newest_src:
+    """Compile the native library with g++; returns the .so path.
+
+    Portable flags by default; set ``TDTPU_NATIVE_MARCH`` (e.g. ``native``)
+    to opt in to arch-specific codegen.  Failures are cached in a marker file
+    so repeated calls don't retry a known-broken toolchain until the sources
+    change (pass ``force=True`` to override both caches).
+    """
+    newest_src = max(os.path.getmtime(s) for s in _SRCS)
+    if not force:
+        if (os.path.exists(_SO_PATH)
+                and os.path.getmtime(_SO_PATH) >= newest_src):
             return _SO_PATH
-    cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        *_SRCS, "-o", _SO_PATH,
-    ]
-    subprocess.run(cmd, check=True, capture_output=True)
+        if (os.path.exists(_FAIL_MARKER)
+                and os.path.getmtime(_FAIL_MARKER) >= newest_src):
+            with open(_FAIL_MARKER) as f:
+                raise RuntimeError(f"native build previously failed "
+                                   f"(rm {_FAIL_MARKER} to retry):\n{f.read()}")
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17"]
+    march = os.environ.get("TDTPU_NATIVE_MARCH")
+    if march:
+        cmd.append(f"-march={march}")
+    cmd += [*_SRCS, "-o", _SO_PATH]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+    except (subprocess.CalledProcessError, OSError) as e:
+        detail = getattr(e, "stderr", "") or str(e)
+        with open(_FAIL_MARKER, "w") as f:
+            f.write(f"{' '.join(cmd)}\n{detail}")
+        raise RuntimeError(f"native build failed: {detail}") from e
+    if os.path.exists(_FAIL_MARKER):
+        os.unlink(_FAIL_MARKER)
     return _SO_PATH
 
 
@@ -105,18 +134,24 @@ class _NativeLib:
 
 
 def _load():
+    """Load a PREBUILT library only — no compiler invocation at import time
+    (a g++ shell-out as an import side effect is fragile on serving hosts;
+    build explicitly via `python -m terrain_diffusion_tpu.native.build`)."""
     if os.environ.get("TDTPU_DISABLE_NATIVE"):
         raise ImportError("native disabled via TDTPU_DISABLE_NATIVE")
-    try:
-        path = build()
-    except Exception as e:  # compiler unavailable etc.
-        raise ImportError(f"could not build native lib: {e}") from e
-    return _NativeLib(path)
+    if not os.path.exists(_SO_PATH):
+        raise ImportError(
+            f"no prebuilt {_SO_PATH}; run "
+            "`python -m terrain_diffusion_tpu.native.build`")
+    newest_src = max(os.path.getmtime(s) for s in _SRCS)
+    if os.path.getmtime(_SO_PATH) < newest_src:
+        raise ImportError(
+            f"{_SO_PATH} is older than its sources; rebuild with "
+            "`python -m terrain_diffusion_tpu.native.build`")
+    return _NativeLib(_SO_PATH)
 
 
 try:
     lib = _load()
 except ImportError:
     lib = None
-    if "pytest" not in sys.modules:
-        pass
