@@ -48,7 +48,7 @@ import functools, json, os, sys, time
 import numpy as np
 import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", os.environ["TD_CACHE"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 from terrain_diffusion_tpu.nn import EDMUnet2D, EDMUnetConfig
 from terrain_diffusion_tpu.scheduler import (EDMSchedulerConfig, compute_sigmas,
                                              sample_dpm,
@@ -161,17 +161,34 @@ with open(out_path, "w") as f:
 """
 
 # Measured end-to-end: WorldPipeline.get_many over fresh far-apart 512px
-# tiles (production widths, random weights, bf16, warm programs).
+# tiles (production widths, random weights, bf16, warm programs).  Two
+# numbers: `e2e_wire` times the full serving path incl. the wire-format
+# download (int16 elev + f16 climate, what the HTTP APIs pull), and
+# `e2e_device` blocks only on per-tile on-device checksums — the chip
+# throughput without the host-link bandwidth (which on this harness is a
+# remote tunnel at ~20 MB/s; a co-located host pulls >1 GB/s).
+# The result file is (re)written after EVERY step, so a timeout upgrade
+# still surfaces whatever completed.
 _E2E_SCRIPT = r"""
 import json, os, sys, time
 import numpy as np
 import jax
+import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", os.environ["TD_CACHE"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 from terrain_diffusion_tpu.nn import EDMUnet2D, EDMUnetConfig
 from terrain_diffusion_tpu.pipeline.world import WorldPipeline
 
 out_path = sys.argv[1]
+result = {}
+
+
+def flush():
+    with open(out_path + ".tmp", "w") as f:
+        json.dump(result, f)
+    os.replace(out_path + ".tmp", out_path)
+
+
 key = jax.random.key(7)
 k1, k2, k3 = jax.random.split(key, 3)
 coarse = EDMUnet2D(EDMUnetConfig(
@@ -199,8 +216,9 @@ pipe = WorldPipeline(seed=1234, latents_batch_size=[1, 2, 4, 8, 16],
 pipe.bind()
 
 t0 = time.perf_counter()
-pipe.get(0, 0, 512, 512)
-warmup_s = time.perf_counter() - t0
+pipe.get(0, 0, 512, 512, pack_wire=True)
+result["warmup_s"] = round(time.perf_counter() - t0, 2)
+flush()
 
 
 def row(k_tiles, n):
@@ -211,51 +229,95 @@ def row(k_tiles, n):
     return [(base_coord, base_coord + k * 512, base_coord + 512,
              base_coord + (k + 1) * 512) for k in range(n)]
 
+
+def device_row(r):
+    # generate + compose all tiles (grouped vmapped dispatches), block only
+    # on on-device checksums
+    pipe.prefetch(r)
+    pending, fallback = pipe._compose_grouped(r, False, True)
+    assert not fallback, "fused compose not resident"
+    jnp.stack([elev.sum() for _, (elev, _) in pending]).block_until_ready()
+
+
 # warm the batch-size buckets used by the measured runs
-pipe.get_many(row(2_000, 8))
-pipe.get_many(row(-4_000, 16))
+pipe.get_many(row(2_000, 8), pack_wire=True)
+pipe.get_many(row(-4_000, 16), pack_wire=True)
+device_row(row(20_000, 16))
+flush()
 
 t0 = time.perf_counter()
-pipe.get_many(row(8_000, 8))
+device_row(row(26_000, 16))
+t_dev = time.perf_counter() - t0
+result["device16_s"] = round(t_dev, 3)
+result["e2e_device_tiles_per_sec"] = round(16.0 / t_dev, 3)
+flush()
+
+# device-only steady state: adjacent row below the one just generated
+adj_dev = [(i2, j1, i2 + 512, j2) for (i1, j1, i2, j2) in row(26_000, 16)]
+t0 = time.perf_counter()
+device_row(adj_dev)
+t_dev_adj = time.perf_counter() - t0
+result["device_adjacent16_s"] = round(t_dev_adj, 3)
+result["e2e_steady_device_tiles_per_sec"] = round(16.0 / t_dev_adj, 3)
+flush()
+
+t0 = time.perf_counter()
+pipe.get_many(row(8_000, 8), pack_wire=True)
 t8 = time.perf_counter() - t0
+result["get_many8_s"] = round(t8, 3)
+flush()
 t0 = time.perf_counter()
-pipe.get_many(row(14_000, 16))
+pipe.get_many(row(14_000, 16), pack_wire=True)
 t16 = time.perf_counter() - t0
+result["get_many16_s"] = round(t16, 3)
+result["e2e_wire_tiles_per_sec"] = round(16.0 / t16, 3)
+result["e2e_marginal_tiles_per_sec"] = round(
+    8.0 / max(t16 - t8, 1e-6), 3)
+flush()
 
-marginal_per_tile = max((t16 - t8) / 8.0, 1e-6)
-with open(out_path, "w") as f:
-    json.dump({
-        "warmup_s": round(warmup_s, 2),
-        "get_many8_s": round(t8, 3),
-        "get_many16_s": round(t16, 3),
-        "e2e_tiles_per_sec": round(16.0 / t16, 3),
-        "e2e_marginal_tiles_per_sec": round(1.0 / marginal_per_tile, 3),
-    }, f)
+# steady-state: extend the already-generated region by the adjacent row
+# below — context (coarse + most latent windows) is resident, so this is
+# the serving regime the analytic tiles_per_sec_per_chip models (1 decoder
+# + marginal latent/coarse per tile)
+adj = [(i2, j1, i2 + 512, j2) for (i1, j1, i2, j2) in row(14_000, 16)]
+t0 = time.perf_counter()
+pipe.get_many(adj, pack_wire=True)
+t_adj = time.perf_counter() - t0
+result["adjacent_row16_s"] = round(t_adj, 3)
+result["e2e_steady_wire_tiles_per_sec"] = round(16.0 / t_adj, 3)
+flush()
 """
 
 
 def _run_sub(argv_payload, timeout_s: float):
-    """Run a stage subprocess with a hard timeout; None on any failure."""
+    """Run a stage subprocess with a hard timeout.  Returns the parsed
+    result file — even after a timeout or crash, whatever the subprocess
+    last flushed is used (the e2e script rewrites its file after every
+    completed step) — or None if nothing was produced."""
     if timeout_s < 20:
         return None
     with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
         out_path = f.name
+    os.unlink(out_path)  # subprocess atomically creates it on first flush
     env = dict(os.environ, TD_CACHE=_CACHE)
     try:
-        proc = subprocess.run(
+        subprocess.run(
             [sys.executable, "-c"] + argv_payload + [out_path],
             timeout=timeout_s, env=env, capture_output=True)
-        if proc.returncode != 0:
-            return None
+    except subprocess.TimeoutExpired:
+        pass
+    try:
         with open(out_path) as f:
-            return json.load(f)
-    except (subprocess.TimeoutExpired, json.JSONDecodeError, FileNotFoundError):
+            parsed = json.load(f)
+        return parsed if parsed else None
+    except (json.JSONDecodeError, FileNotFoundError, OSError):
         return None
     finally:
-        try:
-            os.unlink(out_path)
-        except OSError:
-            pass
+        for p in (out_path, out_path + ".tmp"):
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
 
 
 def run_stage(stage: str, timeout_s: float):
@@ -308,6 +370,16 @@ class Bench:
             tiles_per_sec = 1.0 / t_tile
             detail["tile_512_p50_ms"] = round(t_tile * 1000, 2)
             detail["tiles_per_sec_per_chip"] = round(tiles_per_sec, 3)
+            # steady-state variant: decoder windows are 512px at stride
+            # 384, so each NEW 512px tile consumes (512/384)^2 ~ 1.78
+            # decoder forwards once overlap is charged honestly (the
+            # headline number above keeps the reference's 1-forward
+            # accounting, world_pipeline.py:313-314) — compare against
+            # the measured e2e_steady_device_tiles_per_sec
+            t_steady = (t_tile + (512 / 384) ** 2
+                        * decoder["sec_per_call"] / decoder["batch"]
+                        - decoder["sec_per_call"] / decoder["batch"])
+            detail["analytic_steady_tiles_per_sec"] = round(1.0 / t_steady, 3)
         if self.e2e:
             detail.update(self.e2e)
 
@@ -371,9 +443,27 @@ def main():
 
     # 5. measured end-to-end: WorldPipeline.get_many on device
     if b.remaining() > 120:
-        b.e2e = run_e2e(b.remaining() - 20.0)
+        b.e2e = run_e2e(max(b.remaining() * 0.6, 120.0)
+                        if b.remaining() > 400 else b.remaining() - 20.0)
         if not b.e2e:
             b.notes.append("e2e get_many stage failed/timed out")
+    b.emit()
+
+    # 6. second chance: retry any failed stage with the leftover budget
+    # (a single slow remote compile must not zero a stage for the round)
+    retries = [("coarse", "coarse", 240.0), ("decoder", "decoder64xla", 300.0),
+               ("base", "base192", 420.0)]
+    for attr, stage, cap in retries:
+        if getattr(b, attr) is None and b.remaining() > 60:
+            got = run_stage(stage, min(cap, b.remaining() - 20.0))
+            if got:
+                setattr(b, attr, got)
+                b.notes.append(f"{stage} recovered on retry")
+                b.emit()
+    if b.e2e is None and b.remaining() > 120:
+        b.e2e = run_e2e(b.remaining() - 20.0)
+        if b.e2e:
+            b.notes.append("e2e recovered on retry")
 
     b.emit(final=True)
 

@@ -13,14 +13,27 @@ import numpy as np
 
 
 def run_latency(world, n_runs: int = 10, tile: int = 512, separation: int = 200 * 256,
-                seed: int = 0, with_climate: bool = False) -> dict:
+                seed: int = 0, with_climate: bool = False,
+                grid_aligned: bool = False) -> dict:
+    """grid_aligned snaps every query to tile multiples (the reference's
+    `--grid-aligned` ablation, `evaluation/latency.py:66-71`: aligned
+    queries reuse the same decoder-grid phase; unaligned ones exercise the
+    general path)."""
     rng = np.random.default_rng(seed)
     ttft, ttst = [], []
-    # warmup: compile all programs once (excluded from timing)
+    # warmup: compile all programs once (excluded from timing).  Unaligned
+    # runs also pre-warm one off-grid alignment so the first measured query
+    # isn't a compile.
     world.get(0, 0, tile, tile, with_climate=with_climate)
+    if not grid_aligned:
+        off = tile // 2 + 1
+        world.get(off, off, off + tile, off + tile, with_climate=with_climate)
     for run in range(n_runs):
         ci = int(rng.integers(-20, 20)) * separation
         cj = int(rng.integers(-20, 20)) * separation
+        if not grid_aligned:
+            ci += int(rng.integers(0, tile))
+            cj += int(rng.integers(0, tile))
         world.empty_cache()
         t0 = time.perf_counter()
         world.get(ci, cj, ci + tile, cj + tile, with_climate=with_climate)
@@ -37,7 +50,7 @@ def run_latency(world, n_runs: int = 10, tile: int = 512, separation: int = 200 
                 "p95": float(np.percentile(xs, 95))}
 
     return {"ttft": stats(ttft), "ttst": stats(ttst),
-            "tile": tile, "n_runs": n_runs,
+            "tile": tile, "n_runs": n_runs, "grid_aligned": grid_aligned,
             "memory": device_memory_stats()}
 
 
@@ -72,20 +85,38 @@ def device_memory_stats() -> dict:
 @click.option("--with-climate/--no-climate", default=False)
 @click.option("--onestep-latent", is_flag=True, default=False)
 @click.option("--t", "t_steps", type=int, default=2)
+@click.option("--decoder-tile-size", type=int, default=512,
+              help="decoder window size in px (reference decoder_tile_size)")
+@click.option("--decoder-tile-stride", type=int, default=384,
+              help="decoder window stride in px (reference "
+                   "decoder_tile_stride; < size means overlap blending)")
+@click.option("--max-batch-size", type=int, default=None,
+              help="power-of-2 cap: use batch buckets [1, 2, ..., N] "
+                   "(reference max_batch_size; overrides --batch-size)")
+@click.option("--grid-aligned", is_flag=True, default=False,
+              help="snap query boxes to tile multiples (reference ablation)")
 def main(model_path, runs, tile, batch_size, seed, dtype, with_climate,
-         onestep_latent, t_steps):
+         onestep_latent, t_steps, decoder_tile_size, decoder_tile_stride,
+         max_batch_size, grid_aligned):
     """Measure TTFT/TTST tile latency on the current device."""
     from terrain_diffusion_tpu.pipeline.world import WorldPipeline
 
-    batch_sizes = ([int(x) for x in batch_size.split(",")] if "," in batch_size
-                   else int(batch_size))
+    if max_batch_size is not None:
+        assert max_batch_size & (max_batch_size - 1) == 0, \
+            "--max-batch-size must be a power of 2"
+        batch_sizes = [1 << i for i in range(max_batch_size.bit_length())]
+    else:
+        batch_sizes = ([int(x) for x in batch_size.split(",")]
+                       if "," in batch_size else int(batch_size))
     world = WorldPipeline.from_pretrained(
         model_path, seed=seed, latents_batch_size=batch_sizes,
         dtype=None if dtype == "fp32" else dtype, T=t_steps,
-        onestep_latent=onestep_latent)
+        onestep_latent=onestep_latent,
+        decoder_tile_size=decoder_tile_size,
+        decoder_tile_stride=decoder_tile_stride)
     world.bind()
     out = run_latency(world, n_runs=runs, tile=tile, seed=seed,
-                      with_climate=with_climate)
+                      with_climate=with_climate, grid_aligned=grid_aligned)
     print(json.dumps(out, indent=2))
 
 

@@ -66,6 +66,7 @@ from terrain_diffusion_tpu.runtime import (
     MemoryTileStore,
     TensorWindow,
 )
+from terrain_diffusion_tpu.runtime.infinite_tensor import _next_pow2
 from terrain_diffusion_tpu.scheduler import (
     EDMSchedulerConfig,
     compute_sigmas,
@@ -1238,7 +1239,12 @@ class WorldPipeline:
         residual/latents[/coarse] regions straight from the stage atlases
         (traced geometry), laplacian denoise+decode + signed square, and the
         climate regression + grid-sample — a single dispatch replacing the
-        5-dispatch read_device/elev_core/climate_core chain."""
+        5-dispatch read_device/elev_core/climate_core chain.
+
+        The program is vmapped over the query batch, so `get_many` composes
+        a whole row of same-geometry tiles in ONE dispatch (on remote
+        devices the per-dispatch round trip otherwise dominates the
+        steady-state serving rate)."""
         RES_MEAN = self.kwargs["residual_mean"]
         RES_STD = self.kwargs["residual_std"]
         win = 15
@@ -1247,12 +1253,17 @@ class WorldPipeline:
             from terrain_diffusion_tpu.runtime.infinite_tensor import (
                 assemble_from_atlas)
 
-            @functools.partial(jax.jit, static_argnames=(
-                "res_shape", "lat_shape", "coarse_shape", "h", "w", "S"))
-            def compose(res_view, lat_view, coarse_view, oi, oj, di, dj,
-                        *, res_shape, lat_shape, coarse_shape, h, w, S):
-                residual_init = assemble_from_atlas(*res_view, res_shape)[0]
-                latents_init = assemble_from_atlas(*lat_view, lat_shape)[0]
+            def compose_one(r_atlas, r_slots, r_offs, r_valid,
+                            l_atlas, l_slots, l_offs, l_valid,
+                            c_atlas, c_slots, c_offs, c_valid,
+                            oi, oj, di, dj,
+                            res_shape, lat_shape, coarse_shape, h, w, S):
+                residual_init = assemble_from_atlas(
+                    r_atlas, r_slots[None], r_offs[None], r_valid[None],
+                    res_shape)[0]
+                latents_init = assemble_from_atlas(
+                    l_atlas, l_slots[None], l_offs[None], l_valid[None],
+                    lat_shape)[0]
                 residual_p = (residual_init[0] / residual_init[1]) * RES_STD + RES_MEAN
                 latents_norm = latents_init[:-1] / latents_init[-1:]
                 lowfreq_p = latents_norm[4] * LOWFREQ_STD + LOWFREQ_MEAN
@@ -1261,8 +1272,10 @@ class WorldPipeline:
                 elev = signed_square(
                     jax.lax.dynamic_slice(elev_p, (oi, oj), (h, w)))
                 if not with_climate:
-                    return (_pack_elev_i16(elev) if pack_wire else elev), None
-                coarse_init = assemble_from_atlas(*coarse_view, coarse_shape)[0]
+                    return (_pack_elev_i16(elev) if pack_wire else elev), ()
+                coarse_init = assemble_from_atlas(
+                    c_atlas, c_slots[None], c_offs[None], c_valid[None],
+                    coarse_shape)[0]
                 coarse_map = coarse_init[:-1] / coarse_init[-1:]
                 coarse_elev = jnp.sign(coarse_map[0]) * jnp.square(
                     jnp.maximum(0.0, coarse_map[0]))
@@ -1295,18 +1308,34 @@ class WorldPipeline:
                     return _pack_elev_i16(elev), climate.astype(jnp.float16)
                 return elev, climate
 
+            @functools.partial(jax.jit, static_argnames=(
+                "res_shape", "lat_shape", "coarse_shape", "h", "w", "S"))
+            def compose(res_view, lat_view, coarse_view, oi, oj, di, dj,
+                        *, res_shape, lat_shape, coarse_shape, h, w, S):
+                # geometry arrays are (B, K); atlases are shared
+                r_atlas, r_slots, r_offs, r_valid = res_view
+                l_atlas, l_slots, l_offs, l_valid = lat_view
+                if with_climate:
+                    c_atlas, c_slots, c_offs, c_valid = coarse_view
+                else:
+                    c_atlas = c_slots = c_offs = c_valid = None
+                fn = functools.partial(
+                    compose_one, res_shape=res_shape, lat_shape=lat_shape,
+                    coarse_shape=coarse_shape, h=h, w=w, S=S)
+                return jax.vmap(fn, in_axes=(
+                    None, 0, 0, 0, None, 0, 0, 0,
+                    None, 0, 0, 0, 0, 0, 0, 0))(
+                    r_atlas, r_slots, r_offs, r_valid,
+                    l_atlas, l_slots, l_offs, l_valid,
+                    c_atlas, c_slots, c_offs, c_valid, oi, oj, di, dj)
+
             return compose
 
-        return self._prog(("compose_fused", float(RES_MEAN), float(RES_STD),
+        return self._prog(("compose_fused_v2", float(RES_MEAN), float(RES_STD),
                            win, with_climate, pack_wire), build)
 
-    def _compose_fused(self, i1, j1, i2, j2, with_climate: bool,
-                       pack_wire: bool = False):
-        """(elev_dev, climate_dev | None) in one dispatch, or None when a
-        needed window is not device-resident (fallback: unfused path)."""
-        from terrain_diffusion_tpu.runtime.infinite_tensor import (
-            _traced_geometry)
-
+    def _compose_query_plan(self, i1, j1, i2, j2, with_climate: bool):
+        """(tensors+ranges, scalars, static shapes) for one fused compose."""
         scale = self.latent_compression
         res_ranges, lat_ranges, pi1, pj1 = self._elev_ranges(
             i1, j1, i2, j2, scale)
@@ -1315,27 +1344,76 @@ class WorldPipeline:
         if with_climate:
             needed.append((self.coarse,
                            self._climate_ranges(i1, j1, i2, j2, scale)))
-        views, shapes = [], []
-        for tensor, ranges in needed:
+        shapes = tuple(tuple(b - a for a, b in r) for _, r in needed)
+        scalars = (i1 - pi1, j1 - pj1,
+                   i1 - (i1 // S) * S, j1 - (j1 // S) * S)
+        return needed, scalars, shapes, S
+
+    def _compose_fused_batch(self, queries, with_climate: bool,
+                             pack_wire: bool = False, plans=None,
+                             pad_to: int | None = None):
+        """One dispatch composing ALL `queries` (which must share output
+        size); returns (elev (B,...), climate (B,...) | ()) device arrays
+        (B = len(queries) — padding rows are sliced off), or None when
+        geometries differ or a window is not device-resident (caller falls
+        back to per-query composition).
+
+        pad_to replicates the last query up to that batch size so recurring
+        serving rows hit a bounded set of compiled programs (power-of-two
+        buckets) instead of one program per row length."""
+        from terrain_diffusion_tpu.runtime.infinite_tensor import (
+            _traced_geometry)
+
+        n_real = len(queries)
+        (i1, j1, i2, j2) = queries[0]
+        h, w = i2 - i1, j2 - j1
+        if any((b2 - b1, c2 - c1) != (h, w)
+               for (b1, c1, b2, c2) in queries):
+            return None
+        if plans is None:
+            plans = [self._compose_query_plan(*q, with_climate)
+                     for q in queries]
+        needed0, _, shapes0, S = plans[0]
+        if any(p[2] != shapes0 for p in plans):
+            return None  # mixed alignments: different static region shapes
+        if pad_to is not None and pad_to > len(plans):
+            plans = list(plans) + [plans[-1]] * (pad_to - len(plans))
+        views = []
+        for t_i, (tensor, _) in enumerate(needed0):
             if tensor.device_cache is None:
                 return None
-            geo = _traced_geometry(tensor.output_window, [tuple(ranges)],
+            boxes = [tuple(p[0][t_i][1]) for p in plans]
+            geo = _traced_geometry(tensor.output_window, boxes,
                                    tensor.device_cache.slot)
             if geo is None:
                 return None
             slots, offs, valid, _K = geo
             views.append((tensor.device_cache._atlas, slots, offs, valid))
-            shapes.append(tuple(b - a for a, b in ranges))
         if not with_climate:
             views.append(None)
-            shapes.append(None)
+        scal = np.asarray([p[1] for p in plans], np.int32)  # (B, 4)
         compose = self._compose_fused_core(with_climate, pack_wire)
-        return compose(
-            views[0], views[1], views[2], jnp.int32(i1 - pi1),
-            jnp.int32(j1 - pj1),
-            jnp.int32(i1 - (i1 // S) * S), jnp.int32(j1 - (j1 // S) * S),
+        shapes = shapes0 + ((None,) if not with_climate else ())
+        elev, climate = compose(
+            views[0], views[1], views[2],
+            scal[:, 0], scal[:, 1], scal[:, 2], scal[:, 3],
             res_shape=shapes[0], lat_shape=shapes[1], coarse_shape=shapes[2],
-            h=i2 - i1, w=j2 - j1, S=S)
+            h=h, w=w, S=S)
+        if len(plans) != n_real:
+            elev = elev[:n_real]
+            climate = climate[:n_real] if with_climate else climate
+        return elev, climate
+
+    def _compose_fused(self, i1, j1, i2, j2, with_climate: bool,
+                       pack_wire: bool = False):
+        """(elev_dev, climate_dev | None) in one dispatch, or None when a
+        needed window is not device-resident (fallback: unfused path)."""
+        out = self._compose_fused_batch([(i1, j1, i2, j2)], with_climate,
+                                        pack_wire)
+        if out is None:
+            return None
+        elev, climate = out
+        return elev[0], (climate[0] if with_climate else None)
 
     def get(self, i1, j1, i2, j2, with_climate: bool = True,
             pack_wire: bool = False) -> dict:
@@ -1414,11 +1492,72 @@ class WorldPipeline:
         if coarse_list:
             self.coarse.ensure_regions(coarse_list)
 
+    def _compose_grouped(self, queries, with_climate: bool,
+                         pack_wire: bool = False):
+        """Group `queries` by geometry class (output size + static region
+        shapes) and compose each group in ONE vmapped dispatch.  Returns
+        (pending, fallback): pending = [(query indices, (elev (B, ...),
+        climate (B, ...) | ()))] with results still on device, fallback =
+        indices whose windows were not device-resident (compose via the
+        staged per-query path).  Groups are padded to power-of-two batch
+        sizes so recurring serving rows hit a bounded program set."""
+        groups: dict[tuple, list[int]] = {}
+        plans = []
+        for qi, q in enumerate(queries):
+            plan = self._compose_query_plan(*q, with_climate)
+            plans.append(plan)
+            (i1, j1, i2, j2) = q
+            groups.setdefault((i2 - i1, j2 - j1, plan[2], plan[3]),
+                              []).append(qi)
+        pending, fallback = [], []
+        for idxs in groups.values():
+            out = self._timed("compose", lambda idxs=idxs:
+                              self._compose_fused_batch(
+                                  [queries[i] for i in idxs], with_climate,
+                                  pack_wire, plans=[plans[i] for i in idxs],
+                                  pad_to=_next_pow2(len(idxs))))
+            if out is None:  # staged fallback (partial device residency)
+                fallback.extend(idxs)
+                continue
+            pending.append((idxs, out))
+        return pending, fallback
+
     def get_many(self, queries, with_climate: bool = True,
                  pack_wire: bool = False) -> list:
         """Batched get(): one coalesced generation pass over all queries,
-        then per-query composition (results identical to sequential get)."""
+        then per-query composition (results identical to sequential get).
+
+        Queries sharing one geometry class (output size + static region
+        shapes — e.g. a whole row of grid-aligned tiles) compose in ONE
+        vmapped dispatch, and all compose dispatches are issued BEFORE the
+        first result is fetched, so device compute overlaps the host
+        downloads (on a remote device the per-dispatch round trip otherwise
+        dominates the steady-state serving rate)."""
         self._timed("prefetch", lambda: self.prefetch(queries, with_climate))
-        return [self.get(i1, j1, i2, j2, with_climate=with_climate,
-                         pack_wire=pack_wire)
-                for (i1, j1, i2, j2) in queries]
+        pending, fallback = self._compose_grouped(queries, with_climate,
+                                                  pack_wire)
+        results = [None] * len(queries)
+        for _, (elev_dev, climate_dev) in pending:
+            # start all D2H copies before blocking on any
+            for arr in (elev_dev, climate_dev):
+                if arr is not None and hasattr(arr, "copy_to_host_async"):
+                    arr.copy_to_host_async()
+        for qi in fallback:
+            results[qi] = self.get(*queries[qi], with_climate=with_climate,
+                                   pack_wire=pack_wire)
+        for idxs, (elev_dev, climate_dev) in pending:
+            has_climate = with_climate and climate_dev is not None \
+                and not isinstance(climate_dev, tuple)
+            out = self._timed("fetch", lambda: jax.device_get(
+                (elev_dev, climate_dev) if has_climate else (elev_dev,)))
+            elev_b = np.asarray(out[0])
+            climate_b = np.asarray(out[1]) if has_climate else None
+            for b, qi in enumerate(idxs):
+                elev = elev_b[b]
+                climate = climate_b[b] if has_climate else None
+                if not pack_wire:
+                    elev = elev.astype(np.float32, copy=False)
+                    climate = (climate.astype(np.float32, copy=False)
+                               if climate is not None else None)
+                results[qi] = {"elev": elev, "climate": climate}
+        return results

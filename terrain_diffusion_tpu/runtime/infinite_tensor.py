@@ -59,8 +59,12 @@ class DeviceTileAtlas:
     or recomputation — stays canonical).
     """
 
-    def __init__(self, capacity: int):
+    # per-atlas HBM budget for on-demand growth (see grow_to)
+    DEFAULT_MAX_BYTES = 1 << 30
+
+    def __init__(self, capacity: int, max_bytes: int | None = None):
         self.capacity = int(capacity)
+        self.max_bytes = int(max_bytes or self.DEFAULT_MAX_BYTES)
         self._atlas = None  # lazy: (capacity, *window_shape) f32 on device
         self._slots: "collections.OrderedDict[tuple, int]" = collections.OrderedDict()
         self._free: list | None = None
@@ -71,6 +75,37 @@ class DeviceTileAtlas:
         if self._atlas is None:
             self._atlas = jnp.zeros((self.capacity, *row_shape), jnp.float32)
             self._free = list(range(self.capacity - 1, -1, -1))
+
+    def grow_to(self, n_tiles: int, row_shape: tuple | None = None) -> int:
+        """Grow the pool so >= n_tiles windows fit simultaneously (within
+        the max_bytes budget); returns the resulting capacity.
+
+        A coalesced multi-query plan can need more windows live at once
+        than the configured capacity — without growth, planned parent
+        windows are LRU-evicted before their consumer stage runs and every
+        miss recomputes one window at a time (a ~15x slowdown observed on
+        16-tile serving rows).  Growth is one `concatenate` dispatch;
+        existing slot assignments stay valid.
+        """
+        import jax.numpy as jnp
+
+        if n_tiles <= self.capacity:
+            return self.capacity
+        new_cap = _next_pow2(n_tiles)
+        shape = self._atlas.shape[1:] if self._atlas is not None else row_shape
+        if shape is not None:
+            row_bytes = 4 * int(np.prod(shape))
+            new_cap = min(new_cap, max(self.max_bytes // row_bytes, 1))
+            if new_cap <= self.capacity:
+                return self.capacity
+        if self._atlas is not None:
+            pad = jnp.zeros((new_cap - self.capacity, *self._atlas.shape[1:]),
+                            jnp.float32)
+            self._atlas = jnp.concatenate([self._atlas, pad], axis=0)
+            self._free = (list(range(new_cap - 1, self.capacity - 1, -1))
+                          + (self._free or []))
+        self.capacity = new_cap
+        return self.capacity
 
     def slot(self, idx):
         st = self._slots.get(tuple(idx))
@@ -379,11 +414,19 @@ class InfiniteTensor:
         queries dispatch the same few large programs one query would)."""
         need: dict[int, set] = {}
         tensors: dict[int, InfiniteTensor] = {}
+        touched: dict[int, set] = {}
         idxs = set()
         for ranges in ranges_list:
             idxs |= set(self.output_window.windows_overlapping(ranges))
-        self._collect_needed(idxs, need, tensors)
+        self._collect_needed(idxs, need, tensors, touched)
         for t in self._topo_order():
+            # size the HBM pool to this plan's simultaneous working set —
+            # otherwise planned windows are evicted before their consumer
+            # stage runs and every miss recomputes one window at a time
+            tt = touched.get(id(t))
+            if tt and t.device_cache is not None:
+                t.device_cache.grow_to(len(tt) + 8,
+                                       tuple(t.output_window.size))
             n = need.get(id(t))
             if n:
                 t._evaluate_windows(sorted(n))
@@ -395,9 +438,11 @@ class InfiniteTensor:
             return True
         return self.device_cache is not None and self.device_cache.slot(idx) is not None
 
-    def _collect_needed(self, idx_set, need, tensors):
+    def _collect_needed(self, idx_set, need, tensors, touched=None):
         tensors[id(self)] = self
         mine = need.setdefault(id(self), set())
+        if touched is not None:
+            touched.setdefault(id(self), set()).update(idx_set)
         new = {
             i for i in idx_set
             if i not in mine and not self._contains(i)
@@ -410,7 +455,7 @@ class InfiniteTensor:
             for idx in new:
                 box = win.box(idx)
                 parent_idxs |= set(arg.output_window.windows_overlapping(box))
-            arg._collect_needed(parent_idxs, need, tensors)
+            arg._collect_needed(parent_idxs, need, tensors, touched)
 
     def _topo_order(self):
         """Parents-first order over the dependency DAG."""
@@ -486,9 +531,28 @@ class InfiniteTensor:
             ctxs, self.device_cache._atlas, out_slots, arg_views)
         return True
 
+    def _ensure_parent_windows(self, chunk):
+        """Batch-evaluate every missing parent window of `chunk` (bucketed
+        dispatches) instead of letting per-window `_host_tile` misses
+        recompute them one at a time during assembly."""
+        for a, win in zip(self.args, self.args_windows):
+            needed = set()
+            for idx in chunk:
+                needed |= set(a.output_window.windows_overlapping(win.box(idx)))
+            missing = sorted(i for i in needed if not a._contains(i))
+            if missing:
+                a._evaluate_windows(missing)
+
     def _evaluate_chunk(self, chunk):
         if self.f_fused is not None and self._evaluate_fused(chunk):
             return
+        if self.args:
+            # planned parents may have been LRU-evicted (or this is an
+            # unplanned on-demand evaluation): restore them in batches,
+            # then give the one-dispatch fused path a second chance
+            self._ensure_parent_windows(chunk)
+            if self.f_fused is not None and self._evaluate_fused(chunk):
+                return
         if self.vectorized:
             bucket = self._pick_bucket(len(chunk))
             pad = bucket - len(chunk)

@@ -284,3 +284,95 @@ def test_deferred_host_chain_device_arg_stacks():
     out_e = child_e[:, -5:30, -5:30]
     np.testing.assert_allclose(out_d, out_e, rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(leaf_host, leaf_e[:, 0:20, 0:20], rtol=1e-6, atol=1e-6)
+
+
+def test_atlas_grow_to_preserves_rows():
+    """grow_to enlarges the HBM pool in place: existing slot assignments and
+    row contents survive, new capacity obeys the byte budget."""
+    from terrain_diffusion_tpu.runtime.infinite_tensor import DeviceTileAtlas
+
+    at = DeviceTileAtlas(4)
+    rows = np.arange(4 * 2 * 3 * 3, dtype=np.float32).reshape(4, 2, 3, 3)
+    at.put_batch([(0, 0, k) for k in range(4)], rows)
+    assert at.grow_to(10) == 16
+    assert at.capacity == 16
+    # rows written before growth are still addressable
+    slots = [at.slot((0, 0, k)) for k in range(4)]
+    got = at.fetch_rows(slots)
+    np.testing.assert_array_equal(got, rows)
+    # and new slots are usable
+    at.put_batch([(1, 0, 0)], rows[:1] + 100)
+    np.testing.assert_array_equal(at.fetch_rows([at.slot((1, 0, 0))])[0],
+                                  rows[0] + 100)
+    # byte budget clamps growth (row = 2*3*3*4 = 72 bytes)
+    small = DeviceTileAtlas(2, max_bytes=72 * 5)
+    small.put_batch([(0, 0, 0)], rows[:1])
+    assert small.grow_to(100) == 5
+
+
+def test_plan_grows_atlas_instead_of_thrashing():
+    """A coalesced plan whose working set exceeds the configured atlas
+    capacity must grow the pool (and batch any recomputes) — never fall
+    back to one-window-at-a-time evaluation (the round-3 16-tile-row
+    pathology: 289 single-window dispatches)."""
+    import jax.numpy as jnp
+
+    tile, stride = 16, 8
+
+    def make_chain(cap):
+        def leaf_f(ctxs):
+            vals = np.stack([
+                gaussian_noise_patch(9, int(c[1]) * stride, int(c[2]) * stride,
+                                     tile, tile, channels=2, tile_h=tile,
+                                     tile_w=tile)
+                for c in ctxs])
+            w = linear_weight_window(tile)
+            return jnp.asarray(np.concatenate(
+                [vals * w[None, None],
+                 np.broadcast_to(w, (len(ctxs), 1, tile, tile))], axis=1))
+
+        leaf = InfiniteTensor((3, None, None), leaf_f,
+                              TensorWindow((3, tile, tile), (3, stride, stride)),
+                              batch_size=4, vectorized=True,
+                              batch_buckets=(1, 2, 4),
+                              device_cache_tiles=cap, defer_host=True)
+
+        def child_f(ctxs, regions):
+            r = jnp.asarray(regions)
+            vals = (r[:, :2] / r[:, 2:3]) * 0.5
+            w = jnp.asarray(linear_weight_window(tile))
+            return jnp.concatenate(
+                [vals * w[None, None],
+                 jnp.broadcast_to(w, (len(ctxs), 1, tile, tile))], axis=1)
+
+        child = InfiniteTensor(
+            (3, None, None), child_f,
+            TensorWindow((3, tile, tile), (3, stride, stride)),
+            args=(leaf,),
+            args_windows=(TensorWindow((3, tile, tile), (3, stride, stride)),),
+            batch_size=4, vectorized=True, batch_buckets=(1, 2, 4),
+            device_cache_tiles=cap, defer_host=True)
+        return leaf, child
+
+    calls = []
+    orig = InfiniteTensor._evaluate_chunk
+
+    def patched(self, chunk):
+        calls.append(len(chunk))
+        return orig(self, chunk)
+
+    leaf, child = make_chain(cap=4)  # far below the plan's working set
+    region = [(0, 3), (0, 200), (0, 200)]  # ~625 leaf windows
+    import unittest.mock as mock
+    with mock.patch.object(InfiniteTensor, "_evaluate_chunk", patched):
+        child.ensure_regions([region])
+    assert calls, "plan evaluated nothing"
+    assert 1 not in calls, (
+        f"planner degraded to single-window evaluations: {calls}")
+    assert leaf.device_cache.capacity > 4  # pool grew to the working set
+
+    # results identical to a comfortably-sized chain
+    _, child_big = make_chain(cap=2048)
+    np.testing.assert_allclose(np.asarray(child[tuple(slice(a, b) for a, b in region)]),
+                               np.asarray(child_big[tuple(slice(a, b) for a, b in region)]),
+                               rtol=1e-6, atol=1e-6)

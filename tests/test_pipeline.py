@@ -274,3 +274,21 @@ def test_spatial_sharded_decode_matches_single_device(rng):
     assert len(out.sharding.device_set) == len(mesh.devices.ravel())
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_latency_harness_knobs(models):
+    """run_latency drives TTFT/TTST with the reference harness knobs
+    (grid alignment, decoder tile/stride via the pipeline ctor) and
+    reports the full stats schema (`/root/reference/terrain_diffusion/
+    evaluation/latency.py:19-127`)."""
+    from terrain_diffusion_tpu.evaluation.latency import run_latency
+
+    p = _make_pipe(models, decoder_tile_size=64, decoder_tile_stride=48)
+    p.bind()
+    for aligned in (True, False):
+        out = run_latency(p, n_runs=2, tile=24, separation=240, seed=3,
+                          with_climate=False, grid_aligned=aligned)
+        assert out["grid_aligned"] is aligned
+        for section in ("ttft", "ttst"):
+            for k in ("mean", "std", "p5", "p50", "p95"):
+                assert np.isfinite(out[section][k])
