@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -36,13 +37,17 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_XLA_BATCH_CUTOVER = int(os.environ.get("TDTPU_PALLAS_BATCH_CUTOVER", "8"))
 _INV_SILU_GAIN = 1.0 / 0.596  # mp_silu divisor, folded into conv weights
 
 
 def _silu(x):
     # bare x*sigmoid(x); the magnitude-preserving 1/0.596 is pre-folded
-    # into the downstream conv weight
-    return x * jax.nn.sigmoid(x)
+    # into the downstream conv weight.  Spelled with explicit same-dtype
+    # constants: jax.nn.sigmoid emits an f32 literal broadcast that
+    # Mosaic refuses to verify against bf16 vectors.
+    one = jnp.asarray(1.0, x.dtype)
+    return x / (one + jnp.exp(-x))
 
 
 def _row_mask(shape_rows, r0, H, dtype):
@@ -80,16 +85,46 @@ def _dot_precision(dtype):
             if jnp.dtype(dtype) == jnp.float32 else jax.lax.Precision.DEFAULT)
 
 
-def _conv3x3(a, w_ref, rows_out, acc_dtype, pack_taps):
+def _conv3x3(a, w_ref, rows_out, acc_dtype, pack_taps, pack_n=False):
     """3x3 conv over a (R, W, Cin) with weights w_ref (3, 3, Cin, Cout).
 
     Output rows j correspond to input centre row j+1, j in [0, rows_out).
-    pack_taps=True: one (rows*W, 3Cin) matmul per dy; else 9 tap matmuls.
+    pack_taps=True: dx taps packed into the contraction dim (one
+    (rows*W, 3Cin) matmul per dy).  pack_n=True: dy taps packed into the
+    OUTPUT dim — matmuls produce (rows, W, 3Cout) and y[j] sums the three
+    dy-shifted Cout-slices.  Narrow Cout (<= 64) runs the 128-wide MXU at
+    <= 1/2 output utilization; 3Cout = 192 fills it (the decoder's
+    64-channel top level is ~40% of its FLOPs).
     """
     R, W, Cin = a.shape
     Cout = w_ref.shape[-1]
     prec = _dot_precision(a.dtype)
     a_m1, a_p1 = _shifted_pair(a)
+    if pack_n:
+        # R_full[r] = sum_dx buf_dx[r] @ concat_N([W[dy, dx] for dy])
+        # y[j]     = sum_dy R_full[j + dy][:, dy*Cout : (dy+1)*Cout]
+        acc = jnp.zeros((R * W, 3 * Cout), acc_dtype)
+        if pack_taps:
+            patch = jnp.concatenate([a_m1, a, a_p1], axis=-1)  # (R, W, 3Cin)
+            wn = jnp.concatenate(
+                [w_ref[dy].reshape(3 * Cin, Cout) for dy in range(3)],
+                axis=-1)  # (3Cin, 3Cout)
+            acc = jax.lax.dot_general(
+                patch.reshape(R * W, 3 * Cin), wn,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=acc_dtype, precision=prec)
+        else:
+            for dx, buf in ((0, a_m1), (1, a), (2, a_p1)):
+                wn = jnp.concatenate(
+                    [w_ref[dy, dx] for dy in range(3)], axis=-1)
+                acc = acc + jax.lax.dot_general(
+                    buf.reshape(R * W, Cin), wn,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=acc_dtype, precision=prec)
+        full = acc.reshape(R, W, 3 * Cout)
+        return (full[0:rows_out, :, :Cout]
+                + full[1:rows_out + 1, :, Cout:2 * Cout]
+                + full[2:rows_out + 2, :, 2 * Cout:])
     acc = jnp.zeros((rows_out * W, Cout), acc_dtype)
     if pack_taps:
         patch = jnp.concatenate([a_m1, a, a_p1], axis=-1)  # (R, W, 3Cin)
@@ -178,18 +213,25 @@ def _block_kernel(xm1_ref, x_ref, xp1_ref, w0_ref, w1_ref, c_ref, *rest,
                 precision=_dot_precision(compute_dtype),
             ).reshape(TH, W, Cproj)
 
+    # Activations (silu, gain, masks) stay f32: a bf16-activation variant
+    # measured SLOWER on v5e (b8 17.6 vs 17.2 ms/img — the VPU gets no
+    # win from bf16 element ops here and the extra converts cost).
+
     # ---- first conv over silu(xs); 1/0.596 is folded into w0
     a = _silu(xs).astype(compute_dtype)
     h = _conv3x3(a, w0_ref, TH + 2, f32,
-                 pack_taps=a.shape[-1] <= 64)  # rows r0+1 .. r0+TH+3
+                 pack_taps=a.shape[-1] <= 64,
+                 pack_n=Cmid <= 64)  # rows r0+1 .. r0+TH+3
 
     # ---- emb gain + act; zero rows outside the image (conv1's zero pad)
     cvec = c_ref[n].astype(f32)  # (Cmid,)
     h = _silu(h * cvec[None, None, :]) * _row_mask(TH + 2, r0 + 1, H, f32)
 
     # ---- second conv; 1/0.596 folded into w1
+    Cout_blk = w1_ref.shape[-1]
     h = h.astype(compute_dtype)
-    y = _conv3x3(h, w1_ref, TH, f32, pack_taps=Cmid <= 64)  # (TH, W, Cout)
+    y = _conv3x3(h, w1_ref, TH, f32, pack_taps=Cmid <= 64,
+                 pack_n=Cout_blk <= 64)  # (TH, W, Cout)
 
     # ---- magnitude-preserving residual + clip
     t = res_balance
@@ -235,10 +277,10 @@ def block_eligible(x, *, conv_type="default", resample_mode="keep",
     H, W = H * pre_upsample, W * pre_upsample  # kernel output resolution
     if H < 8 or W % 8 or W < 128:
         return False  # tiny maps: XLA is fine, tiling constraints are not
-    if tile_rows is None and min_pixels and N >= 8:
-        # measured on v5e: at batch >= 8 XLA abandons the space-to-batch
-        # rewrite and its convs edge out the kernel (16.8 vs 19.6 ms/img on
-        # the full decoder) - keep XLA for large coalesced batches
+    if tile_rows is None and min_pixels and N >= _XLA_BATCH_CUTOVER:
+        # measured on v5e: at this batch XLA abandons the space-to-batch
+        # rewrite and its convs catch up with the kernel - keep XLA for
+        # large coalesced batches (TDTPU_PALLAS_BATCH_CUTOVER overrides)
         return False
     if tile_rows is None and H * W < min_pixels:
         # measured on v5e: the kernel wins 1.3-2.6x from 128x128 up
@@ -359,8 +401,9 @@ def conv3x3_eligible(x, tile_rows=None):
     if x.ndim != 4:
         return False
     N, H, W, C = x.shape
-    if H < 8 or W % 8 or W < 128 or H * W < 128 * 128 or N >= 8:
-        return False  # batch >= 8: XLA convs win (see block_eligible)
+    if (H < 8 or W % 8 or W < 128 or H * W < 128 * 128
+            or N >= _XLA_BATCH_CUTOVER):
+        return False  # large batch: XLA convs win (see block_eligible)
     return H % _pick_tile_rows(H, W, max(C, 128), max(C, 128), tile_rows,
                                x.dtype.itemsize) == 0
 
