@@ -62,19 +62,31 @@ rng = np.random.default_rng(0)
 
 
 def measure(chain, args, n_long):
-    # compile both variants, then time with a forced scalar fetch
-    float(chain(*args, n=1))
-    float(chain(*args, n=n_long))
-    t0 = time.perf_counter(); float(chain(*args, n=1))
-    t1 = time.perf_counter() - t0
-    t0 = time.perf_counter(); float(chain(*args, n=n_long))
-    tN = time.perf_counter() - t0
-    marginal = max((tN - t1) / (n_long - 1), 1e-6)
-    return marginal, max(t1 - marginal, 0.0)
+    # ONE compiled program per stage (remote compiles on this backend cost
+    # 100-400s each, so the old n=1 + n_long pair doubled the cold-cache
+    # cost); dispatch RTT comes from a trivial jitted program instead
+    tiny = jax.jit(lambda v: v + 1.0)
+    z = jnp.zeros((), jnp.float32)
+    float(tiny(z))
+    rtt = min(_timed(lambda: float(tiny(z))) for _ in range(3))
+    float(chain(*args, n=n_long))  # compile
+    tN = min(_timed(lambda: float(chain(*args, n=n_long))) for _ in range(2))
+    marginal = max((tN - rtt) / n_long, 1e-6)
+    return marginal, rtt
 
 
-result = {}
-if stage == "coarse":
+def _timed(fn):
+    t0 = time.perf_counter(); fn()
+    return time.perf_counter() - t0
+
+
+def run_one(stage):
+    if stage == "coarse":
+        return _run_coarse()
+    return _run_unet(stage)
+
+
+def _run_coarse():
     model = EDMUnet2D(EDMUnetConfig(
         image_size=16, in_channels=11, out_channels=6, model_channels=128,
         model_channel_mults=(1,), layers_per_block=2, attn_resolutions=(),
@@ -103,9 +115,11 @@ if stage == "coarse":
     cond = jnp.asarray(rng.standard_normal((B, 64, 64, 5)), jnp.float32)
     scal = jnp.full((B,), 0.1, jnp.float32)
     marginal, rtt = measure(chain, (p, noise, cond, scal), 4)
-    result = {"stage": "coarse", "batch": B, "steps": 20,
-              "sec_per_call": marginal, "rtt_s": rtt}
-else:
+    return {"stage": "coarse", "batch": B, "steps": 20,
+            "sec_per_call": marginal, "rtt_s": rtt}
+
+
+def _run_unet(stage):
     if stage.startswith("base"):
         mc = int(stage[4:])
         model = EDMUnet2D(EDMUnetConfig(
@@ -154,10 +168,27 @@ else:
     x = jnp.asarray(rng.standard_normal((B, H, H, IC)), jnp.float32)
     nl = jnp.full((B,), 0.8, jnp.float32)
     marginal, rtt = measure(chain, (p, x, nl), 16)
-    result = {"stage": stage, "batch": B, "steps": 1,
-              "sec_per_call": marginal, "rtt_s": rtt, "model_channels": mc}
-with open(out_path, "w") as f:
-    json.dump(result, f)
+    return {"stage": stage, "batch": B, "steps": 1,
+            "sec_per_call": marginal, "rtt_s": rtt, "model_channels": mc}
+
+
+def flush(result):
+    with open(out_path + ".tmp", "w") as f:
+        json.dump(result, f)
+    os.replace(out_path + ".tmp", out_path)
+
+
+if stage.startswith("combo:"):
+    # several stages, ONE process: device init + cache loads are paid once
+    # (each stage subprocess costs 100-200s of setup through the tunnel
+    # even fully warm).  Results flush incrementally so a timeout keeps
+    # every completed stage.
+    combo = {}
+    for s in stage[6:].split(","):
+        combo[s] = run_one(s)
+        flush(combo)
+else:
+    flush(run_one(stage))
 """
 
 # Measured end-to-end: WorldPipeline.get_many over fresh far-apart 512px
@@ -405,29 +436,42 @@ def main():
     budget = float(os.environ.get("TD_BENCH_TOTAL_BUDGET", "900"))
     b = Bench(budget)
 
-    # 1. coarse — small model, warm cache, cheap
-    b.coarse = run_stage("coarse", min(240.0, b.remaining()))
+    # 1-3. the three known-safe XLA stages in ONE subprocess: device init +
+    # compile-cache loads through the tunnel cost 100-200s per subprocess
+    # even fully warm, so one process for all three is the difference
+    # between fitting the budget and not.  The combo flushes incrementally;
+    # a timeout keeps every completed stage, and the individual fallbacks
+    # below re-attempt only what is missing.
+    combo = run_stage("combo:coarse,decoder64xla,base192",
+                      min(700.0, b.remaining()))
+    combo = combo if isinstance(combo, dict) and "stage" not in combo else {}
+    b.coarse = combo.get("coarse")
+    b.decoder = combo.get("decoder64xla")
+    b.base = combo.get("base192")
+    b.emit()
+    if not b.coarse and b.remaining() > 60:
+        b.coarse = run_stage("coarse", min(300.0, b.remaining()))
+        b.emit()
     if not b.coarse:
         b.notes.append("coarse stage failed/timed out")
-    b.emit()
-
-    # 2. decoder, XLA conv path — cache-warm since round 1, known-safe
-    b.decoder = run_stage("decoder64xla", min(300.0, b.remaining()))
+    if not b.decoder and b.remaining() > 60:
+        b.decoder = run_stage("decoder64xla", min(300.0, b.remaining()))
+        b.emit()
     if not b.decoder:
         b.notes.append("decoder64xla failed/timed out")
-    b.emit()
-
-    # 3. base 192ch (production width); narrower fallbacks only with budget
-    for width in (192, 128, 64):
-        b.base = run_stage(f"base{width}", min(420.0, b.remaining()))
-        if b.base:
-            if width != 192:
-                b.notes.append(f"base model measured at {width}ch "
-                               f"(192ch exceeded the budget)")
-            break
+    if not b.base:
+        for width in (192, 128, 64):
+            if b.remaining() < 60:
+                break
+            b.base = run_stage(f"base{width}", min(420.0, b.remaining()))
+            if b.base:
+                if width != 192:
+                    b.notes.append(f"base model measured at {width}ch "
+                                   f"(192ch exceeded the budget)")
+                break
+        b.emit()
     if not b.base:
         b.notes.append("base stage failed/timed out")
-    b.emit()
 
     # 4. decoder Pallas upgrade attempt — only with leftover budget, and it
     # must BEAT the XLA number to be adopted (round-2 lesson: a hung Mosaic
