@@ -171,11 +171,28 @@ def _block_kernel(xm1_ref, x_ref, xp1_ref, w0_ref, w1_ref, c_ref, *rest,
         TH, W, Cin = x_ref.shape[1:]
         xs = jnp.concatenate(
             [xm1_ref[0, TH - 2:], x_ref[0], xp1_ref[0, :2]], axis=0)
+    x2s = None
+    if concat_scales is not None:
+        x2s = jnp.concatenate(
+            [x2m1_ref[0, TH - 2:], x2_ref[0], x2p1_ref[0, :2]], axis=0)
+    _block_body(xs, x2s, w0_ref, w1_ref, c_ref,
+                wsk_ref if has_skip else None, o_ref, n=n,
+                r0=i * TH - 2, TH=TH, W=W, H=H, mode=mode,
+                pixel_norm=pixel_norm, res_balance=res_balance,
+                clip_act=clip_act, concat_scales=concat_scales,
+                compute_dtype=compute_dtype)
+
+
+def _block_body(xs, x2s, w0_ref, w1_ref, c_ref, wsk_ref, o_ref, *, n, r0,
+                TH, W, H, mode, pixel_norm, res_balance, clip_act,
+                concat_scales, compute_dtype):
+    """Shared block math on assembled rows xs (TH+4, W, Cin)."""
+    Cin = xs.shape[-1]
     Cmid = w0_ref.shape[-1]
+    has_skip = wsk_ref is not None
     f32 = jnp.float32
 
-    # ---- rows [i*TH-2, i*TH+TH+2) with out-of-image rows zeroed
-    r0 = i * TH - 2
+    # ---- rows [r0, r0+TH+4) with out-of-image rows zeroed
     rmask = _row_mask(TH + 4, r0, H, f32)
     xs = xs.astype(f32) * rmask
     if concat_scales is not None:
@@ -183,9 +200,8 @@ def _block_kernel(xm1_ref, x_ref, xp1_ref, w0_ref, w1_ref, c_ref, *rest,
         # halves are scaled in VMEM instead of materializing the 2C
         # tensor in HBM
         s1, s2 = concat_scales
-        x2 = jnp.concatenate(
-            [x2m1_ref[0, TH - 2:], x2_ref[0], x2p1_ref[0, :2]], axis=0)
-        xs = jnp.concatenate([xs * s1, x2.astype(f32) * rmask * s2], axis=-1)
+        xs = jnp.concatenate([xs * s1, x2s.astype(f32) * rmask * s2], axis=-1)
+        Cin = xs.shape[-1]
 
     if mode == "enc":
         if has_skip:  # 1x1 projection BEFORE pixel norm (reference order)
@@ -239,6 +255,68 @@ def _block_kernel(xm1_ref, x_ref, xp1_ref, w0_ref, w1_ref, c_ref, *rest,
     if clip_act is not None:
         out = jnp.clip(out, -clip_act, clip_act)
     o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _block_kernel_carry(x_ref, w0_ref, w1_ref, c_ref, *rest,
+                        H, mode, pixel_norm, res_balance, clip_act,
+                        has_skip, concat_scales, pre_up, compute_dtype,
+                        interpret=False):
+    """Carry-halo variant: ONE input window per grid step; the 2 (1 at half
+    res) halo rows above come from a VMEM scratch carried across steps, so
+    each input row is DMA'd once instead of three times.  Output for row
+    tile j is written at grid step i = j+1 (delayed one step): step i has
+    tile j's rows below its window via x_ref[:halo], and tiles above from
+    the scratch.  Step 0 only seeds the scratch (zero top padding = the
+    conv's SAME padding, making the top row mask a no-op by construction).
+    """
+    rest = list(rest)
+    x2_ref = rest.pop(0) if concat_scales is not None else None
+    wsk_ref = rest.pop(0) if has_skip else None
+    o_ref = rest.pop(0)
+    if concat_scales is not None:
+        s_ref, s2_ref = rest
+    else:
+        (s_ref,) = rest
+        s2_ref = None
+    n = pl.program_id(0)
+    i = pl.program_id(1)
+    if pre_up:
+        THh, Wh, _ = x_ref.shape[1:]
+        TH, W = 2 * THh, 2 * Wh
+        hh = 1  # halo rows carried at half resolution
+    else:
+        TH, W, _ = x_ref.shape[1:]
+        hh = 2
+
+    @pl.when(i == 0)
+    def _seed():
+        s_ref[:hh] = jnp.zeros_like(s_ref[:hh])
+        s_ref[hh:] = x_ref[0]
+        if s2_ref is not None:
+            s2_ref[:hh] = jnp.zeros_like(s2_ref[:hh])
+            s2_ref[hh:] = x2_ref[0]
+
+    @pl.when(i > 0)
+    def _compute():
+        xs = jnp.concatenate([s_ref[...], x_ref[0, :hh]], axis=0)
+        if pre_up:
+            xs = _nearest_up2(xs, interpret)  # (TH+4, W, Cin)
+        x2s = None
+        if s2_ref is not None:
+            x2s = jnp.concatenate([s2_ref[...], x2_ref[0, :hh]], axis=0)
+        _block_body(xs, x2s, w0_ref, w1_ref, c_ref, wsk_ref, o_ref,
+                    n=n, r0=(i - 1) * TH - 2, TH=TH, W=W, H=H, mode=mode,
+                    pixel_norm=pixel_norm, res_balance=res_balance,
+                    clip_act=clip_act, concat_scales=concat_scales,
+                    compute_dtype=compute_dtype)
+        # slide the carried window: [last hh rows, new block]
+        top = s_ref[-hh:]
+        s_ref[:hh] = top
+        s_ref[hh:] = x_ref[0]
+        if s2_ref is not None:
+            top2 = s2_ref[-hh:]
+            s2_ref[:hh] = top2
+            s2_ref[hh:] = x2_ref[0]
 
 
 def _pick_tile_rows(H, W, cin, cmid, tile_rows=None, itemsize=2):
@@ -296,11 +374,11 @@ def block_eligible(x, *, conv_type="default", resample_mode="keep",
     jax.jit,
     static_argnames=("mode", "pixel_norm", "res_balance", "clip_act",
                      "tile_rows", "concat_scales", "pre_upsample",
-                     "interpret"))
+                     "interpret", "halo_mode"))
 def fused_block_apply(x, w0, w1, c, wskip=None, x2=None, *, mode="enc",
                       pixel_norm=True, res_balance=0.3, clip_act=256.0,
                       tile_rows=None, concat_scales=None, pre_upsample=1,
-                      interpret=False):
+                      interpret=False, halo_mode="specs"):
     """Fused residual-block forward.
 
     x      : (N, H, W, Cin) activations (bf16 or f32).
@@ -337,43 +415,82 @@ def fused_block_apply(x, w0, w1, c, wskip=None, x2=None, *, mode="enc",
     w0 = (w0 * _INV_SILU_GAIN).astype(dt)
     w1 = (w1 * _INV_SILU_GAIN).astype(dt)
 
-    grid = (N, H // th)
-    xspec = lambda off: pl.BlockSpec(
-        (1, th // u, W // u, x.shape[-1]),
-        (lambda n, i: (n, jnp.clip(i + off, 0, H // th - 1), 0, 0)),
-        memory_space=pltpu.VMEM)
-    in_specs = [
-        xspec(-1), xspec(0), xspec(+1),
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # w0
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # w1
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # c
-    ]
-    args = [x, x, x, w0, w1, c]
-    if x2 is not None:
-        x2 = x2.astype(dt)
-        in_specs += [xspec(-1), xspec(0), xspec(+1)]
-        args += [x2, x2, x2]
-    if wskip is not None:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        args.append(wskip.astype(dt))
-
-    kern = functools.partial(
-        _block_kernel, H=H, mode=mode, pixel_norm=pixel_norm,
+    nb = H // th
+    kern_kw = dict(
+        H=H, mode=mode, pixel_norm=pixel_norm,
         res_balance=float(res_balance),
         clip_act=None if clip_act is None else float(clip_act),
         has_skip=wskip is not None, concat_scales=concat_scales,
         pre_up=(u == 2), compute_dtype=dt, interpret=interpret)
     flops = 2 * N * H * W * (9 * w0.shape[2] * Cmid + 9 * Cmid * Cout
                              + (w0.shape[2] * Cout if wskip is not None else 0))
-    bytes_accessed = x.size * x.dtype.itemsize + N * H * W * Cout * x.dtype.itemsize
+    scratch_shapes = []
+    if halo_mode == "carry":
+        # one input window per step + a carried halo scratch; output for
+        # row tile j lands at step j+1 (see _block_kernel_carry)
+        grid = (N, nb + 1)
+        hh = 2 // u
+        xspec1 = pl.BlockSpec(
+            (1, th // u, W // u, x.shape[-1]),
+            (lambda n, i: (n, jnp.minimum(i, nb - 1), 0, 0)),
+            memory_space=pltpu.VMEM)
+        in_specs = [
+            xspec1,
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w0
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w1
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # c
+        ]
+        args = [x, w0, w1, c]
+        scratch_shapes.append(
+            pltpu.VMEM((th // u + hh, W // u, x.shape[-1]), dt))
+        if x2 is not None:
+            x2 = x2.astype(dt)
+            in_specs.append(xspec1)
+            args.append(x2)
+            scratch_shapes.append(
+                pltpu.VMEM((th // u + hh, W // u, x2.shape[-1]), dt))
+        if wskip is not None:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            args.append(wskip.astype(dt))
+        kern = functools.partial(_block_kernel_carry, **kern_kw)
+        out_spec = pl.BlockSpec(
+            (1, th, W, Cout),
+            (lambda n, i: (n, jnp.maximum(i - 1, 0), 0, 0)),
+            memory_space=pltpu.VMEM)
+        bytes_accessed = (x.size + N * H * W * Cout) * x.dtype.itemsize
+    else:
+        grid = (N, nb)
+        xspec = lambda off: pl.BlockSpec(
+            (1, th // u, W // u, x.shape[-1]),
+            (lambda n, i: (n, jnp.clip(i + off, 0, nb - 1), 0, 0)),
+            memory_space=pltpu.VMEM)
+        in_specs = [
+            xspec(-1), xspec(0), xspec(+1),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w0
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w1
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # c
+        ]
+        args = [x, x, x, w0, w1, c]
+        if x2 is not None:
+            x2 = x2.astype(dt)
+            in_specs += [xspec(-1), xspec(0), xspec(+1)]
+            args += [x2, x2, x2]
+        if wskip is not None:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            args.append(wskip.astype(dt))
+        kern = functools.partial(_block_kernel, **kern_kw)
+        out_spec = pl.BlockSpec(
+            (1, th, W, Cout), (lambda n, i: (n, i, 0, 0)),
+            memory_space=pltpu.VMEM)
+        bytes_accessed = 3 * x.size * x.dtype.itemsize \
+            + N * H * W * Cout * x.dtype.itemsize
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, th, W, Cout), (lambda n, i: (n, i, 0, 0)),
-            memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((N, H, W, Cout), dt),
+        scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed,
             transcendentals=2 * N * H * W * Cmid),

@@ -148,6 +148,49 @@ def test_eligibility_routing_matrix():
     assert not pb.conv3x3_eligible(x(8, 512, 512, 64))
 
 
+@pytest.mark.parametrize(
+    "cin,cout,mode,with_x2,preup",
+    [
+        (32, 32, "enc", False, 1),   # scratch seed + multi-tile slide
+        (48, 32, "enc", False, 1),   # 1x1 projection before the norm
+        (32, 32, "dec", True, 1),    # dual scratch (skip concat)
+        (32, 32, "dec", False, 2),   # half-res carried halo (fused up)
+    ])
+def test_carry_halo_matches_specs(rng, cin, cout, mode, with_x2, preup):
+    """halo_mode='carry' (one input window per step + carried VMEM halo)
+    must be bit-identical to the triple-spec assembly."""
+    H, W = (64, 128) if preup == 1 else (32, 64)
+    p = L.unet_block_init(KEY, cin * (2 if with_x2 else 1), cout, 16,
+                          mode=mode)
+    x = jnp.asarray(rng.standard_normal((2, H, W, cin)), jnp.float32)
+    x2 = (jnp.asarray(rng.standard_normal((2, H, W, cin)), jnp.float32)
+          if with_x2 else None)
+    emb = jnp.asarray(rng.standard_normal((2, 16)), jnp.float32)
+    c = L.mp_conv_apply(p["emb_linear"], emb, gain=p["emb_gain"]) + 1.0
+    c = c / jnp.sqrt(jnp.mean(jnp.square(c), axis=-1, keepdims=True) + 1e-8)
+    wskip = None
+    if "conv_skip" in p:
+        ws = mp.normalize(p["conv_skip"]["w"])
+        ws = ws * (1.0 / math.sqrt(int(np.prod(ws.shape[:-1]))))
+        wskip = ws.reshape(ws.shape[2], ws.shape[3])
+
+    def norm_scaled(w):
+        wn = mp.normalize(w)
+        return wn * (1.0 / math.sqrt(int(np.prod(w.shape[:-1]))))
+
+    kw = dict(mode=mode, pixel_norm=(mode == "enc"), res_balance=0.3,
+              clip_act=256.0, tile_rows=16,
+              concat_scales=(0.7, 0.3) if with_x2 else None,
+              pre_upsample=preup, interpret=True)
+    a = pb.fused_block_apply(x, norm_scaled(p["conv_res0"]["w"]),
+                             norm_scaled(p["conv_res1"]["w"]), c, wskip, x2,
+                             halo_mode="specs", **kw)
+    b = pb.fused_block_apply(x, norm_scaled(p["conv_res0"]["w"]),
+                             norm_scaled(p["conv_res1"]["w"]), c, wskip, x2,
+                             halo_mode="carry", **kw)
+    assert jnp.array_equal(a, b)
+
+
 def test_fused_up_block_matches_xla(rng):
     """dec up-block with the nearest-x2 upsample fused into the kernel
     (half-res inputs) must match the XLA repeat + block path."""
