@@ -80,7 +80,8 @@ class EDMUnetConfig:
             # runtime backend selectors, not architecture — keep persisted
             # configs loadable by the reference implementation
             d["block_kwargs"] = {k: v for k, v in d["block_kwargs"].items()
-                                 if k not in ("block_impl", "attention_impl")}
+                                 if k not in ("block_impl", "attention_impl",
+                                              "halo_mode")}
         return d
 
 

@@ -259,7 +259,7 @@ def _attention(p, x, num_heads: int, compute_dtype, attention_impl: str = "xla")
 def _fused_block(p, x, emb, *, mode, conv_type, dropout, res_balance,
                  clip_act, expansion_factor, no_padding, activation,
                  training, compute_dtype, interpret, x2=None,
-                 concat_scales=None, pre_upsample=1):
+                 concat_scales=None, pre_upsample=1, halo_mode="specs"):
     """Route the block's conv body through the fused Pallas kernel
     (ops/pallas_block.py) when shapes/options allow; None = fall back."""
     if "conv_res0" not in p:  # mobile conv layout
@@ -299,7 +299,8 @@ def _fused_block(p, x, emb, *, mode, conv_type, dropout, res_balance,
         x2.astype(dt) if x2 is not None else None, mode=mode,
         pixel_norm=(mode == "enc"), res_balance=float(res_balance),
         clip_act=clip_act, concat_scales=concat_scales,
-        pre_upsample=pre_upsample, interpret=interpret)
+        pre_upsample=pre_upsample, interpret=interpret,
+        halo_mode=halo_mode)
 
 
 def unet_block_apply(
@@ -324,6 +325,7 @@ def unet_block_apply(
     compute_dtype=None,
     attention_impl: str = "xla",
     block_impl: str = "xla",
+    halo_mode: str = "specs",
     skip_input=None,
     concat_w: float = 0.3,
     **_unused,
@@ -373,7 +375,8 @@ def unet_block_apply(
                              training=training, compute_dtype=dt,
                              interpret=block_impl == "pallas_interpret",
                              x2=x2, concat_scales=cscales,
-                             pre_upsample=2 if defer_up else 1)
+                             pre_upsample=2 if defer_up else 1,
+                             halo_mode=halo_mode)
         if fused is None and defer_up:
             x = resample(x, "up")  # kernel ineligible: XLA upsample
         if fused is not None:
