@@ -266,7 +266,10 @@ class EDMUnet2D:
             if (interp or jax.default_backend() == "tpu") and \
                     pb.conv3x3_eligible(x):
                 w = mp.normalize(p["w"]) / np.sqrt(int(np.prod(p["w"].shape[:-1])))
-                return pb.fused_conv3x3_apply(x.astype(dt), w, interpret=interp)
+                return pb.fused_conv3x3_apply(
+                    x.astype(dt), w, interpret=interp,
+                    halo_mode=self.config.block_kwargs.get(
+                        "halo_mode", "specs"))
         return L.mp_conv_apply(p, x, compute_dtype=dt)
 
     # ------------------------------------------------------------------
@@ -282,8 +285,10 @@ class EDMUnet2D:
                     pb.conv3x3_eligible(x):
                 w = params["out_conv"]["w"]
                 w = mp.normalize(w) * (gain / np.sqrt(int(np.prod(w.shape[:-1]))))
-                return pb.fused_conv3x3_apply(x.astype(dt), w,
-                                              interpret=interp)
+                return pb.fused_conv3x3_apply(
+                    x.astype(dt), w, interpret=interp,
+                    halo_mode=self.config.block_kwargs.get(
+                        "halo_mode", "specs"))
         return L.mp_conv_apply(params["out_conv"], x, gain=gain,
                                compute_dtype=dt)
 

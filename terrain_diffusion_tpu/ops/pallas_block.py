@@ -514,6 +514,29 @@ def _conv_kernel(xm1_ref, x_ref, xp1_ref, w_ref, o_ref, *, H):
     o_ref[0] = y.astype(o_ref.dtype)
 
 
+def _conv_kernel_carry(x_ref, w_ref, o_ref, s_ref, *, H):
+    """Carry-halo standalone conv: one input window per step, 1-row halo
+    carried in scratch (3x3 conv needs only +-1 rows); output tile j is
+    written at step j+1 (see _block_kernel_carry for the scheme)."""
+    i = pl.program_id(1)
+    TH, W, Cin = x_ref.shape[1:]
+
+    @pl.when(i == 0)
+    def _seed():
+        s_ref[:1] = jnp.zeros_like(s_ref[:1])
+        s_ref[1:] = x_ref[0]
+
+    @pl.when(i > 0)
+    def _compute():
+        xs = jnp.concatenate([s_ref[...], x_ref[0, :1]], axis=0)  # (TH+2,..)
+        xs = xs * _row_mask(TH + 2, (i - 1) * TH - 1, H, xs.dtype)
+        y = _conv3x3(xs, w_ref, TH, jnp.float32, pack_taps=Cin <= 64)
+        o_ref[0] = y.astype(o_ref.dtype)
+        top = s_ref[-1:]
+        s_ref[:1] = top
+        s_ref[1:] = x_ref[0]
+
+
 def conv3x3_eligible(x, tile_rows=None):
     if x.ndim != 4:
         return False
@@ -525,8 +548,10 @@ def conv3x3_eligible(x, tile_rows=None):
                                x.dtype.itemsize) == 0
 
 
-@functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
-def fused_conv3x3_apply(x, w, *, tile_rows=None, interpret=False):
+@functools.partial(jax.jit, static_argnames=("tile_rows", "interpret",
+                                              "halo_mode"))
+def fused_conv3x3_apply(x, w, *, tile_rows=None, interpret=False,
+                        halo_mode="specs"):
     """SAME-padded 3x3 conv as one Pallas program (large maps).
 
     w is the fully prepared HWIO weight (normalized, fan-in scaled, gain
@@ -542,24 +567,49 @@ def fused_conv3x3_apply(x, w, *, tile_rows=None, interpret=False):
     th = _pick_tile_rows(H, W, max(Cin, 128), max(Cin, 128), tile_rows,
                          dt.itemsize)
     assert H % th == 0, (H, th)
-    xspec = lambda off: pl.BlockSpec(
-        (1, th, W, Cin),
-        (lambda n, i: (n, jnp.clip(i + off, 0, H // th - 1), 0, 0)),
-        memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_conv_kernel, H=H),
-        grid=(N, H // th),
-        in_specs=[xspec(-1), xspec(0), xspec(+1),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(
-            (1, th, W, Cout), (lambda n, i: (n, i, 0, 0)),
+    nb = H // th
+    if halo_mode == "carry":
+        grid = (N, nb + 1)
+        in_specs = [pl.BlockSpec(
+            (1, th, W, Cin),
+            (lambda n, i: (n, jnp.minimum(i, nb - 1), 0, 0)),
             memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM)]
+        args = (x, w.astype(dt))
+        out_spec = pl.BlockSpec(
+            (1, th, W, Cout),
+            (lambda n, i: (n, jnp.maximum(i - 1, 0), 0, 0)),
+            memory_space=pltpu.VMEM)
+        scratch_shapes = [pltpu.VMEM((th + 1, W, Cin), dt)]
+        kern = functools.partial(_conv_kernel_carry, H=H)
+        in_bytes = x.size
+    else:
+        grid = (N, nb)
+        xspec = lambda off: pl.BlockSpec(
+            (1, th, W, Cin),
+            (lambda n, i: (n, jnp.clip(i + off, 0, nb - 1), 0, 0)),
+            memory_space=pltpu.VMEM)
+        in_specs = [xspec(-1), xspec(0), xspec(+1),
+                    pl.BlockSpec(memory_space=pltpu.VMEM)]
+        args = (x, x, x, w.astype(dt))
+        out_spec = pl.BlockSpec(
+            (1, th, W, Cout), (lambda n, i: (n, i, 0, 0)),
+            memory_space=pltpu.VMEM)
+        scratch_shapes = []
+        kern = functools.partial(_conv_kernel, H=H)
+        in_bytes = 3 * x.size
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((N, H, W, Cout), dt),
+        scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
             flops=2 * N * H * W * 9 * Cin * Cout,
-            bytes_accessed=(x.size + N * H * W * Cout) * x.dtype.itemsize,
+            bytes_accessed=(in_bytes + N * H * W * Cout) * x.dtype.itemsize,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x, x, x, w.astype(dt))
+    )(*args)

@@ -125,6 +125,8 @@ def test_fused_out_conv_matches_xla(rng):
     w = mp.normalize(p["w"]) * (0.7 / np.sqrt(9 * 32))
     out = pb.fused_conv3x3_apply(x, w, interpret=True)
     assert _rel_err(ref, out) < 1e-5
+    carry = pb.fused_conv3x3_apply(x, w, interpret=True, halo_mode="carry")
+    assert jnp.array_equal(out, carry)
 
 
 def test_eligibility_routing_matrix():
