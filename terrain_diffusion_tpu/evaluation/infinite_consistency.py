@@ -46,6 +46,15 @@ def generate_samples(base_model, base_params, decoder_model, decoder_params,
     land inside the metric image.  The other modes tile the full canvas
     with overlap blending and central-crop.
     """
+    if crop != 64:
+        # the conditioning geometry is hardwired to the reference's layout:
+        # blend modes advance the 4x4 cond window one px per 32-latent-px
+        # tile step (crop/2), and naive mode samples a 2x2 grid at
+        # 2-cond-px stride from a 6x6 center crop — both only line up for
+        # 64-latent-px tiles (reference image_size=64)
+        raise ValueError(
+            f"crop={crop} unsupported: the tile/conditioning geometry is "
+            "only defined for the reference's 64-latent-px tiles")
     B = cond_imgs.shape[0]
     key, k1, k2 = jax.random.split(key, 3)
     if mode == "naive":
@@ -153,9 +162,13 @@ def evaluate(base_path: str, decoder_path: str, dataset_kwargs: dict, *,
         items = [ds[int(rng.integers(1 << 31))] for _ in range(batch)]
         cond_imgs = np.stack([i["cond_inputs_img"] for i in items])
         key, sub = jax.random.split(key)
+        # the dataset already standardized cond_inputs_img (it always
+        # resolves cond_input_mean/std), so the sampler-side normalization
+        # must be identity — the reference does the same, passing
+        # zeros/ones into _process_cond_img (infinite_consistency.py:221)
         terrain = generate_samples(
             base_model, base_params, decoder_model, decoder_params,
-            cond_imgs, ds.cond_input_mean, ds.cond_input_std,
+            cond_imgs, np.zeros(7, np.float32), np.ones(7, np.float32),
             key=sub, mode=mode, canvas=canvas, crop=crop)
         fake.append(terrain)
         real.append(real_terrain_batch(items, terrain.shape[1]))

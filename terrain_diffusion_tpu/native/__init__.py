@@ -60,11 +60,17 @@ def build(force: bool = False) -> str:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
     except (subprocess.CalledProcessError, OSError) as e:
         detail = getattr(e, "stderr", "") or str(e)
-        with open(_FAIL_MARKER, "w") as f:
-            f.write(f"{' '.join(cmd)}\n{detail}")
+        try:  # best-effort: a read-only package dir must not mask the
+            with open(_FAIL_MARKER, "w") as f:  # actual compiler error
+                f.write(f"{' '.join(cmd)}\n{detail}")
+        except OSError:
+            pass
         raise RuntimeError(f"native build failed: {detail}") from e
-    if os.path.exists(_FAIL_MARKER):
-        os.unlink(_FAIL_MARKER)
+    try:
+        if os.path.exists(_FAIL_MARKER):
+            os.unlink(_FAIL_MARKER)
+    except OSError:
+        pass
     return _SO_PATH
 
 

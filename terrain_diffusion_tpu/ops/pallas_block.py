@@ -103,7 +103,6 @@ def _conv3x3(a, w_ref, rows_out, acc_dtype, pack_taps, pack_n=False):
     if pack_n:
         # R_full[r] = sum_dx buf_dx[r] @ concat_N([W[dy, dx] for dy])
         # y[j]     = sum_dy R_full[j + dy][:, dy*Cout : (dy+1)*Cout]
-        acc = jnp.zeros((R * W, 3 * Cout), acc_dtype)
         if pack_taps:
             patch = jnp.concatenate([a_m1, a, a_p1], axis=-1)  # (R, W, 3Cin)
             wn = jnp.concatenate(
@@ -114,6 +113,7 @@ def _conv3x3(a, w_ref, rows_out, acc_dtype, pack_taps, pack_n=False):
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=acc_dtype, precision=prec)
         else:
+            acc = jnp.zeros((R * W, 3 * Cout), acc_dtype)
             for dx, buf in ((0, a_m1), (1, a), (2, a_p1)):
                 wn = jnp.concatenate(
                     [w_ref[dy, dx] for dy in range(3)], axis=-1)

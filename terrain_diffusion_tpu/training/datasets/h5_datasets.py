@@ -279,6 +279,12 @@ class H5LatentsDataset(_H5SubsetMixin):
                 # evaluation/infinite_consistency.py's real side)
                 from terrain_diffusion_tpu.ops.laplacian import laplacian_decode
 
+                if f"{group_path}/residual" not in f:
+                    raise KeyError(
+                        f"{group_path!r} has no 'residual' dataset — "
+                        "val_dset=True needs an encoded file built with "
+                        "residuals (build_encoded_dataset keeps them); "
+                        "latents-only files cannot provide ground truth")
                 res8 = np.asarray(
                     f[f"{group_path}/residual"][li * 8:(li + h) * 8,
                                                 lj * 8:(lj + w) * 8],
