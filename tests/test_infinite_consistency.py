@@ -106,6 +106,50 @@ def test_real_terrain_batch_requires_ground_truth(h5_eval_fixture):
         real_terrain_batch([item], CANVAS * 8 + 64)
 
 
+def test_eval_passes_identity_cond_stats(h5_eval_fixture, tmp_path,
+                                          monkeypatch):
+    """evaluate() must hand generate_samples IDENTITY normalization stats:
+    the dataset already standardized cond_inputs_img, so re-applying the
+    dataset's raw-scale mean/std would double-normalize the conditioning
+    (the reference passes zeros/ones into _process_cond_img the same way,
+    infinite_consistency.py:221)."""
+    from helpers import tiny_models
+
+    from terrain_diffusion_tpu.evaluation import infinite_consistency as ic
+    from terrain_diffusion_tpu.nn import torch_compat
+
+    (_, _), (base, pb), (dec, pd) = tiny_models(decoder_tile=64)
+    base_path = str(tmp_path / "base")
+    dec_path = str(tmp_path / "dec")
+    torch_compat.save_model(base, pb, base_path)
+    torch_compat.save_model(dec, pd, dec_path)
+
+    captured = {}
+    gen_rng = np.random.default_rng(0)
+
+    def fake_generate(bm, bp, dm, dp, cond_imgs, cond_means, cond_stds,
+                      *, key, mode, canvas, crop, **kw):
+        captured["means"] = np.asarray(cond_means)
+        captured["stds"] = np.asarray(cond_stds)
+        B = cond_imgs.shape[0]
+        return gen_rng.standard_normal(
+            (B, crop * 8, crop * 8, 1)).astype(np.float32)
+
+    monkeypatch.setattr(ic, "generate_samples", fake_generate)
+    kwargs = {**_ds_kwargs(h5_eval_fixture),
+              # raw-scale stats: passing THESE through would shift every
+              # cond vector by hundreds of (normalized) units
+              "cond_input_mean": [500, 400, 15, 600, 800, 70, 0.5],
+              "cond_input_std": [20, 20, 10, 450, 700, 35, 0.5],
+              "split": "val"}
+    kwargs.pop("crop_size")
+    out = ic.evaluate(base_path, dec_path, kwargs, n_images=4, batch=4,
+                      mode="blend", seed=0, canvas=CANVAS)
+    assert out["n_images"] == 4
+    np.testing.assert_array_equal(captured["means"], np.zeros(7))
+    np.testing.assert_array_equal(captured["stds"], np.ones(7))
+
+
 @pytest.mark.slow
 def test_blend_beats_naive_kid_with_real_side(h5_eval_fixture, tmp_path):
     """The headline ablation (reference `evaluate.sh`): InfiniteDiffusion
