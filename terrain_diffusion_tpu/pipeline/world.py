@@ -102,6 +102,10 @@ def _pack_elev_i16(elev):
     return jnp.clip(jnp.floor(elev), -32768, 32767).astype(jnp.int16)
 
 
+def _ceil_div(a, b):
+    return -((-a) // b)
+
+
 class WorldPipeline:
     """Multi-scale terrain generation pipeline (TPU-native)."""
 
@@ -109,10 +113,6 @@ class WorldPipeline:
     BASE_MODEL_FOLDER = "base_model"
     DECODER_MODEL_FOLDER = "decoder_model"
     CONFIG_NAME = "config.json"
-
-    # runtime-only keys excluded from the persisted config
-    _RUNTIME_KEYS = ("seed", "latents_batch_size", "log_mode", "cache_limit",
-                     "caching_strategy", "dtype", "noise_mode", "block_impl")
 
     def __init__(
         self,
@@ -236,6 +236,7 @@ class WorldPipeline:
             "residual_std": self.kwargs["residual_std"],
             "coarse_means": self.kwargs["coarse_means"],
             "coarse_stds": self.kwargs["coarse_stds"],
+            "histogram_raw": self.kwargs["histogram_raw"],
             "onestep_latent": self.onestep_latent,
             "decoder_tile_size": self.decoder_tile_size,
             "decoder_tile_stride": self.decoder_tile_stride,
@@ -289,6 +290,12 @@ class WorldPipeline:
         self.decoder_model, self.decoder_params = decoder
         self._apply_block_impl()
         self._compiled = {}  # stage programs close over the model objects
+        if self.tile_store is not None:
+            # already bound: the stage tensors' window fns captured the OLD
+            # (model, params) at _build_hierarchy time — rebuild so new
+            # weights actually generate (cached tiles stay; call rebuild()
+            # to also drop them)
+            self._build_hierarchy()
         return self
 
     def _apply_block_impl(self):
@@ -334,16 +341,29 @@ class WorldPipeline:
     def _reconcile_params(self, store: HDF5TileStore):
         """Stored params win on mismatch (non-interactive equivalent of the
         reference's overwrite prompt, `world_pipeline.py:625-663`)."""
-        current = {"seed": self.seed, "kwargs": self.kwargs}
+
+        def persisted(kw):
+            # log_mode is a runtime verbosity knob, not a world parameter —
+            # it must neither trigger a spurious mismatch nor be adopted
+            return {k: v for k, v in kw.items() if k != "log_mode"}
+
+        current = {"seed": self.seed, "kwargs": persisted(self.kwargs)}
         stored = store.get_params()
         if stored is None:
             store.set_params(current)
             return
-        if stored != current:
+        stored_cmp = {"seed": stored["seed"],
+                      "kwargs": persisted(stored["kwargs"])}
+        if stored_cmp != current:
             print("[WorldPipeline] stored world params differ; using stored "
                   "(pass a fresh file or call rebuild() to regenerate)")
             self.seed = stored["seed"]
-            self.kwargs = stored["kwargs"]
+            self.kwargs = {**persisted(stored["kwargs"]),
+                           "log_mode": self.log_mode}
+            # derived attributes read outside self.kwargs must follow the
+            # adopted world parameters or new tiles blend at the wrong scale
+            self.latent_compression = self.kwargs.get(
+                "latent_compression", self.latent_compression)
 
     def _init_conditioning(self):
         self.synthetic_map_factory = make_synthetic_map_factory(
@@ -1058,6 +1078,16 @@ class WorldPipeline:
             seed = self.seed
             if threefry:
                 noise = np.zeros((len(ctxs), len(t_list), 1, 1, 1), np.float32)
+                # Domain-separate the decoder's device streams from the
+                # latent stage: the reference reuses offset 5819+i for BOTH
+                # stages, and since decoder tile index hr//512 == latent
+                # tile index lat//64, their streams collide — the decode
+                # noise's first 20480 values equal the latent init noise
+                # over the same region.  That inherited quirk is kept only
+                # on the bit-portable host path below (reference
+                # world_pipeline.py:1230); the threefry path draws from an
+                # independent offset family.
+                dec_off = 15819
             else:
                 noise = np.stack([
                     np.stack([
@@ -1065,7 +1095,8 @@ class WorldPipeline:
                                          int(c[2]) * STRIDE, TILE, TILE, 1, TILE)
                         for s in range(len(t_list))])
                     for c in ctxs])
-            seed_pairs = np.stack([seed_to_pair(seed + 5819 + s)
+                dec_off = 5819  # pairs unused by the program in this mode
+            seed_pairs = np.stack([seed_to_pair(seed + dec_off + s)
                                    for s in range(len(t_list))])
             return noise, seed_pairs
 
@@ -1141,16 +1172,13 @@ class WorldPipeline:
         pad_lr = kernel_size // 2 + 1
         pad_hr = pad_lr * scale
 
-        def ceil_div(a, b):
-            return -((-a) // b)
-
         pi1 = ((i1 - pad_hr) // scale) * scale
         pj1 = ((j1 - pad_hr) // scale) * scale
         # canonical region size for a given query SIZE (covers every
         # alignment): composition programs then compile once per query
         # shape instead of once per alignment-dependent padding variant
-        sh = ceil_div(i2 - i1 + 2 * pad_hr + scale - 1, scale) * scale
-        sw = ceil_div(j2 - j1 + 2 * pad_hr + scale - 1, scale) * scale
+        sh = _ceil_div(i2 - i1 + 2 * pad_hr + scale - 1, scale) * scale
+        sw = _ceil_div(j2 - j1 + 2 * pad_hr + scale - 1, scale) * scale
         pi2 = pi1 + sh
         pj2 = pj1 + sw
         res_ranges = [(0, 2), (pi1, pi2), (pj1, pj2)]
@@ -1162,14 +1190,11 @@ class WorldPipeline:
     def _climate_ranges(i1, j1, i2, j2, scale: int):
         """Coarse read region for a climate query."""
 
-        def ceil_div(a, b):
-            return -((-a) // b)
-
         S = 32 * scale
         ci1, cj1 = i1 // S, j1 // S
         # canonical cell count for a given query size (see _elev_ranges)
-        ci2 = ci1 + ceil_div(i2 - i1 + S - 1, S)
-        cj2 = cj1 + ceil_div(j2 - j1 + S - 1, S)
+        ci2 = ci1 + _ceil_div(i2 - i1 + S - 1, S)
+        cj2 = cj1 + _ceil_div(j2 - j1 + S - 1, S)
         win = 15
         pad = (win - 1) // 2 + 1
         return [(0, 7), (ci1 - pad, ci2 + pad), (cj1 - pad, cj2 + pad)]
@@ -1190,12 +1215,9 @@ class WorldPipeline:
         """(5, H, W) climate [temp, t_season, precip, p_cv, beta]
         (reference `_compute_climate`, :1315-1365)."""
 
-        def ceil_div(a, b):
-            return -((-a) // b)
-
         S = 32 * scale
         ci1, cj1 = i1 // S, j1 // S
-        ci2, cj2 = ceil_div(i2, S), ceil_div(j2, S)
+        ci2, cj2 = _ceil_div(i2, S), _ceil_div(j2, S)
         win = 15
         pad = (win - 1) // 2 + 1
         coarse_init = self.coarse.read_device(

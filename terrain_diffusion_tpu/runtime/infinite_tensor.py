@@ -133,18 +133,28 @@ class DeviceTileAtlas:
         return np.asarray(slots, np.int32)
 
     def put_batch(self, idxs, batch):
-        """Scatter rows 0..len(idxs)-1 of a stage batch into the pool —
-        one device dispatch regardless of batch size."""
+        """Scatter a stage batch into the pool — one device dispatch,
+        compiled once per (atlas, bucket) shape pair.
+
+        Rows past len(idxs) (bucket padding) MUST be duplicates of row
+        len(idxs)-1 — the caller pads contexts by repeating the last one,
+        so the stage program recomputes the same window there.  Those rows
+        are aimed at the last real slot; duplicate scatter indices have an
+        unspecified winner, which is fine exactly because the candidate
+        values are identical.  Baking len(idxs) into the program instead
+        would mint one remote compile per chunk length."""
         slots = self.reserve(idxs, tuple(batch.shape[1:]))
-        fn = _atlas_write_fn(self._atlas.shape, tuple(batch.shape), len(idxs))
-        self._atlas = fn(self._atlas, slots, batch)
+        padded = np.empty((batch.shape[0],), np.int32)
+        n = len(idxs)
+        padded[:n] = slots
+        padded[n:] = slots[n - 1]
+        fn = _atlas_write_fn(self._atlas.shape, tuple(batch.shape))
+        self._atlas = fn(self._atlas, padded, batch)
 
     def fetch_rows(self, slots) -> np.ndarray:
         """Device-gather the given slots and download them in ONE transfer
         (host materialization path)."""
-        k = 1
-        while k < len(slots):
-            k *= 2
+        k = _next_pow2(len(slots))
         padded = np.zeros((k,), np.int32)
         padded[: len(slots)] = slots
         out = _atlas_gather_fn(self._atlas.shape, k)(self._atlas, padded)
@@ -160,13 +170,13 @@ class DeviceTileAtlas:
 
 
 @functools.lru_cache(maxsize=256)
-def _atlas_write_fn(atlas_shape: tuple, batch_shape: tuple, n_valid: int):
+def _atlas_write_fn(atlas_shape: tuple, batch_shape: tuple):
     import jax
     import jax.numpy as jnp
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def run(atlas, slots, batch):
-        return atlas.at[slots].set(batch[:n_valid].astype(jnp.float32))
+        return atlas.at[slots].set(batch.astype(jnp.float32))
 
     return run
 

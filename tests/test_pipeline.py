@@ -134,6 +134,60 @@ def test_save_and_from_pretrained(models, tmp_path, pipe):
     assert p2.coarse_model.config.in_channels == 11
 
 
+def test_config_roundtrip_preserves_histogram_raw(models, tmp_path):
+    p = _make_pipe(models, histogram_raw=[0.5, 0, 0, 0, 0])
+    p.save_pretrained(str(tmp_path / "hr"))
+    p2 = WorldPipeline.from_pretrained(str(tmp_path / "hr"), seed=1234,
+                                       latents_batch_size=[1, 2, 4])
+    assert p2.kwargs["histogram_raw"] == [0.5, 0, 0, 0, 0]
+
+
+def test_set_models_after_bind_takes_effect(models):
+    """set_models() on a bound pipeline must regenerate with the NEW
+    weights — the stage tensors' window fns captured the old ones at
+    bind() time, so the hierarchy must be rebuilt."""
+    import jax.numpy as jnp
+
+    ref = _make_pipe(models)
+    ref.bind()
+    a = ref.get(0, 0, 24, 24)
+
+    (cm, cp), (bm, bp), (dm, dp) = models
+    p = _make_pipe(models)
+    p.bind()  # hierarchy built against the ORIGINAL decoder weights
+    p.set_models((cm, cp), (bm, bp),
+                 (dm, {**dp, "out_gain": jnp.asarray(3.0)}))
+    b = p.get(0, 0, 24, 24)
+    assert not np.allclose(a["elev"], b["elev"])
+
+
+def test_reconcile_adopts_stored_world_params(models, tmp_path):
+    """Reopening an HDF5 world with different ctor params must adopt the
+    STORED world parameters — including derived attributes — and a
+    runtime-only log_mode change must not trigger adoption at all."""
+    f = str(tmp_path / "world.h5")
+    p = _make_pipe(models, caching_strategy="indirect", drop_water_pct=0.25)
+    p.bind(hdf5_file=f)
+    assert p.kwargs["drop_water_pct"] == 0.25
+    p.tile_store.close()
+
+    p2 = _make_pipe(models, caching_strategy="indirect", drop_water_pct=0.9,
+                    log_mode="verbose")
+    p2.bind(hdf5_file=f)
+    assert p2.kwargs["drop_water_pct"] == 0.25  # stored wins
+    assert p2.log_mode == "verbose"             # runtime knob kept
+    assert p2.kwargs["log_mode"] == "verbose"
+    assert p2.latent_compression == p2.kwargs["latent_compression"]
+    p2.tile_store.close()
+
+    # same params, different log_mode: nothing to adopt (no spurious diff)
+    p3 = _make_pipe(models, caching_strategy="indirect", drop_water_pct=0.25,
+                    log_mode="verbose")
+    p3.bind(hdf5_file=f)
+    assert p3.kwargs["drop_water_pct"] == 0.25
+    p3.tile_store.close()
+
+
 def test_change_seed_reuses_compiled_programs(models):
     """Seed is a traced input to every stage program: change_seed() must not
     retrace/recompile anything (jit cache sizes stay fixed), while results
