@@ -98,6 +98,39 @@ def _jitted_decoder_step(model, cfg: EDMSchedulerConfig):
 
 
 @functools.lru_cache(maxsize=64)
+def _jitted_dpm_cond_tile(model, guide_model, guidance_scale: float,
+                          steps: int, cfg: EDMSchedulerConfig,
+                          score_scaling: float):
+    """Cached jitted DPM sampler for tiles with a channel-concat cond image
+    (decoder / coarse paths) — ONE compile reused across every tile of
+    every call, instead of re-tracing sample_dpm per tile."""
+
+    @jax.jit
+    def run(params, guide_params, noise, cond_img, cond_scalars):
+        fwd = _model_with_guidance(model, params, guide_model, guide_params,
+                                   guidance_scale)
+
+        def model_fn(scaled, sigma):
+            cnoise = trigflow_precondition_noise(sigma, cfg.sigma_data)
+            nl = jnp.full((noise.shape[0],), cnoise, scaled.dtype)
+            x_in = jnp.concatenate([scaled, cond_img], axis=-1)
+            v = fwd(x_in, nl, list(cond_scalars))
+            if score_scaling != 1.0:
+                # the score direction needs the RAW sigma-space sample
+                # (the reference passes `samples`, not the preconditioned
+                # input — sample_diffusion_decoder.py:102,119)
+                raw = scaled * jnp.sqrt(sigma ** 2 + cfg.sigma_data ** 2)
+                v = scale_score_in_velocity(
+                    v, raw, sigma, v, alpha=score_scaling,
+                    sigma_data=cfg.sigma_data)
+            return v
+
+        return sample_dpm(model_fn, noise, cfg, steps)
+
+    return run
+
+
+@functools.lru_cache(maxsize=64)
 def _jitted_consistency_step(model, cfg: EDMSchedulerConfig):
     @jax.jit
     def run(params, sample, z, t, cond_list):
@@ -270,26 +303,14 @@ def sample_decoder_diffusion_tiled(model, params, latents, *, key,
     noise_full = jax.random.normal(sub, (B, H, W, 1)) * sigmas0
     out = jnp.zeros((B, H, W, 1))
     out_w = jnp.zeros((B, H, W, 1))
-    fwd = _model_with_guidance(model, params, guide_model, guide_params,
-                               guidance_scale)
+    dpm = _jitted_dpm_cond_tile(model, guide_model, guidance_scale, steps,
+                                cfg, float(score_scaling))
+    gp = guide_params if guide_model is not None else {}
     for i0 in tile_starts(H, tile_size, stride):
         for j0 in tile_starts(W, tile_size, stride):
             sl = (slice(None), slice(i0, i0 + tile_size),
                   slice(j0, j0 + tile_size), slice(None))
-            cond_up = up[sl]
-
-            def model_fn(scaled, sigma):
-                cnoise = trigflow_precondition_noise(sigma, cfg.sigma_data)
-                nl = jnp.full((B,), cnoise, scaled.dtype)
-                x_in = jnp.concatenate([scaled, cond_up], axis=-1)
-                v = fwd(x_in, nl, [])
-                if score_scaling != 1.0:
-                    v = scale_score_in_velocity(
-                        v, scaled, sigma, v, alpha=score_scaling,
-                        sigma_data=cfg.sigma_data)
-                return v
-
-            tile = sample_dpm(model_fn, noise_full[sl], cfg, steps)
+            tile = dpm(params, gp, noise_full[sl], up[sl], [])
             out = out.at[sl].add(tile * weights)
             out_w = out_w.at[sl].add(jnp.broadcast_to(weights, tile.shape))
     return out / out_w / cfg.sigma_data
@@ -343,19 +364,13 @@ def sample_coarse_tiled(model, params, cond_map, cond_snr, *, key,
     noise_full = jax.random.normal(ks, (B, H, W, 6)) * sigmas0
     out = jnp.zeros((B, H, W, 6))
     out_w = jnp.zeros((B, H, W, 6))
+    dpm = _jitted_dpm_cond_tile(model, None, 1.0, steps, cfg, 1.0)
     for i0 in tile_starts(H, tile_size, stride):
         for j0 in tile_starts(W, tile_size, stride):
             sl = (slice(None), slice(i0, i0 + tile_size),
                   slice(j0, j0 + tile_size), slice(None))
-            cond_tile = cond_mixed[sl]
-
-            def model_fn(scaled, sigma):
-                cnoise = trigflow_precondition_noise(sigma, cfg.sigma_data)
-                nl = jnp.full((B,), cnoise, scaled.dtype)
-                x_in = jnp.concatenate([scaled, cond_tile], axis=-1)
-                return model.apply(params, x_in, nl, cond_scalars)
-
-            tile = sample_dpm(model_fn, noise_full[sl], cfg, steps)
+            tile = dpm(params, {}, noise_full[sl], cond_mixed[sl],
+                       list(cond_scalars))
             out = out.at[sl].add(tile * weights)
             out_w = out_w.at[sl].add(jnp.broadcast_to(weights, tile.shape))
     return out / out_w / cfg.sigma_data

@@ -139,6 +139,9 @@ def consistency_loss(model, params, teacher_apply: Callable, batch: dict, key,
     if cfg.loss_groups is None:
         g_norm = jnp.sqrt(jnp.mean(g**2, axis=(1, 2, 3), keepdims=True))
     else:
+        # the MEAN of per-group norms, applied uniformly to all channels —
+        # NOT per-group normalization; this matches the reference exactly
+        # (consistency.py:166-175 stacks group norms and means over them)
         norms, c = [], 0
         for gc in cfg.loss_groups:
             norms.append(jnp.sqrt(jnp.mean(g[..., c:c + gc] ** 2,
@@ -168,9 +171,11 @@ def consistency_loss(model, params, teacher_apply: Callable, batch: dict, key,
 
 def autoencoder_loss(ae, params, batch: dict, key, kl_weight: float = 1e-5,
                      perceptual_fn: Optional[Callable] = None,
-                     perceptual_weight: float = 1.0, training: bool = True):
+                     perceptual_weight: float = 1.0):
     """VAE loss: MAE + KL (+ optional perceptual term)
-    (reference `trainers/autoencoder.py:90-152`)."""
+    (reference `trainers/autoencoder.py:90-152`).  Deliberately identical
+    for train and validation — the reference's val loop also draws a
+    stochastic posterior sample (`autoencoder.py:209`)."""
     images = batch["image"]
     means, logvars = ae.preencode(params, images)
     z = ae.postencode(means, logvars, key=key)

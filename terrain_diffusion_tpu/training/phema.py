@@ -84,6 +84,13 @@ class PostHocEMA:
             with open(path, "wb") as f:
                 pickle.dump(jax.tree.map(np.asarray, ema), f)
 
+    def shortest(self):
+        """The lowest-sigma_rel (least-smoothed) EMA params — config order
+        of sigma_rels is preserved in self.emas, so index 0 is NOT
+        necessarily the shortest profile."""
+        i = min(range(len(self.sigma_rels)), key=lambda k: self.sigma_rels[k])
+        return self.emas[i]
+
     # -- persistence of the live state (train resume) -------------------
     def state_dict(self):
         return {"sigma_rels": self.sigma_rels,

@@ -75,7 +75,7 @@ class AutoencoderTrainer(TrainerBase):
         self._val = jax.jit(lambda p, b, k: autoencoder_loss(
             self.model, p, b, k, kl_weight=self.kl_weight,
             perceptual_fn=perceptual_fn,
-            perceptual_weight=self.perceptual_weight, training=False))
+            perceptual_weight=self.perceptual_weight))
 
     def init_state(self, key, save_dir=None) -> dict:
         params = self.model.init(key)

@@ -100,7 +100,7 @@ class DiffusionTrainer(TrainerBase):
             return out
         params = state["params"]
         if state.get("ema") is not None and state["ema"].emas:
-            params = state["ema"].emas[0]  # shortest sigma_rel EMA
+            params = state["ema"].shortest()
         decoder = None
         if ev.get("kid_autoencoder_path"):
             from terrain_diffusion_tpu.nn import torch_compat

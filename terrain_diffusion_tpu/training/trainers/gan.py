@@ -35,6 +35,9 @@ Capability parity, JAX-idiomatic:
 """
 from __future__ import annotations
 
+import os
+import pickle
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -108,6 +111,9 @@ class GANTrainer(TrainerBase):
         d_kw = config.get("d_optimizer", {}).get("kwargs", {})
         g_betas = g_kw.get("betas", (0.0, 0.99))
         d_betas = d_kw.get("betas", (0.0, 0.99))
+        # beta2 warmup derives from the GENERATOR betas and is applied to
+        # both optimizers — reference behavior (gan.py:125-126,185-188
+        # updates beta_2 "for both optimizers" from g_optimizer's value)
         self.final_beta2 = float(g_betas[1])
         self.initial_beta2 = 1.0 - 10.0 * (1.0 - self.final_beta2)
 
@@ -322,8 +328,35 @@ class GANTrainer(TrainerBase):
     def evaluate(self, state: dict, batches, key) -> dict:
         params = state["params"]
         if state.get("ema") is not None and state["ema"].emas:
-            params = state["ema"].emas[0]
+            params = state["ema"].shortest()
         ev = self.config.get("evaluation", {})
         fid = self.calculate_fid(params, batches, key,
                                  feature_fn=ev.get("feature_fn", "terrain"))
         return {"val/fid": fid}
+
+    # -- checkpointing: the adversary must survive a resume --------------
+    # (the reference persists the discriminator + its optimizer through
+    # accelerate's save_state; the base protocol only covers the generator)
+    def save_checkpoint(self, state: dict, path: str, counters: dict):
+        super().save_checkpoint(state, path, counters)
+        with open(os.path.join(path, "gan_state.pkl"), "wb") as f:
+            pickle.dump({
+                "d_params": jax.tree.map(np.asarray, state["d_params"]),
+                "d_opt_state": jax.tree.map(np.asarray,
+                                            state["d_opt_state"]),
+            }, f)
+
+    def load_checkpoint(self, state: dict, path: str) -> dict:
+        counters = super().load_checkpoint(state, path)
+        gan_path = os.path.join(path, "gan_state.pkl")
+        if not os.path.exists(gan_path):
+            raise FileNotFoundError(
+                f"{gan_path} missing: a GAN checkpoint without the "
+                "discriminator would resume a trained generator against a "
+                "fresh adversary")
+        with open(gan_path, "rb") as f:
+            blob = pickle.load(f)
+        state["d_params"] = blob["d_params"]
+        state["d_opt_state"] = jax.tree.map(
+            lambda ref, v: v, state["d_opt_state"], blob["d_opt_state"])
+        return counters

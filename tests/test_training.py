@@ -362,3 +362,58 @@ def test_gan_trainer_plain_mode():
     m = trainer.train_step(state, batch, jax.random.key(1), counters)
     assert np.isfinite(m["d_loss"]) and np.isfinite(m["g_loss"])
     assert m["r_loss"] == 0.0  # r_gamma=0: no penalty variant built
+
+
+def test_gan_checkpoint_roundtrip_includes_discriminator(tmp_path):
+    """A GAN resume must restore the adversary — the base protocol only
+    covers the generator (reference persists both via accelerate)."""
+    from terrain_diffusion_tpu.nn import EDMUnet2D, EDMUnetConfig
+    from terrain_diffusion_tpu.training.trainers.gan import GANTrainer
+
+    def unet(in_ch, out_ch):
+        return EDMUnet2D(EDMUnetConfig(
+            image_size=16, in_channels=in_ch, out_channels=out_ch,
+            model_channels=8, model_channel_mults=(1,), layers_per_block=1,
+            midblock_attention=False))
+
+    trainer = GANTrainer({"training": {"latent_channels": 1}}, {
+        "model": unet(1, 1), "discriminator": unet(1, 1),
+        "lr_sched": ls.ConstantLRScheduler(1e-4)})
+    state = trainer.init_state(jax.random.key(0))
+    batch = {"image": np.random.default_rng(1).standard_normal(
+        (2, 16, 16, 1)).astype(np.float32)}
+    trainer.train_step(state, batch, jax.random.key(1), {"step": 0, "seen": 0})
+    path = str(tmp_path / "ckpt")
+    trainer.save_checkpoint(state, path, {"step": 1, "seen": 2})
+
+    state2 = trainer.init_state(jax.random.key(42))  # different init
+    counters = trainer.load_checkpoint(state2, path)
+    assert counters["step"] == 1
+    for a, b in zip(jax.tree.leaves(state["d_params"]),
+                    jax.tree.leaves(state2["d_params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_evaluate_kid_decoder_path_uses_real_ground_truth(h5_fixture):
+    """mode='base' with a decoder: fake terrain decodes through the full
+    denorm chain and the real side comes from the dataset's ground_truth
+    (real residual terrain), both finite and at output resolution."""
+    from helpers import tiny_models
+
+    from terrain_diffusion_tpu.training.datasets import H5LatentsDataset
+    from terrain_diffusion_tpu.training.trainers.eval_kid import evaluate_kid
+
+    ds = H5LatentsDataset(
+        h5_file=h5_fixture, crop_size=64, pct_land_ranges=[[0, 1]],
+        subset_resolutions=[90], subset_weights=[1.0],
+        latents_mean=[0, 0, 0, 0], latents_std=[1, 1, 1, 1],
+        split="val", val_dset=True, clip_edges=False,
+        cond_input_mean=[0, 0, 0, 0, 0, 0, 0.5],
+        cond_input_std=[1, 1, 1, 1, 1, 1, 0.5])
+    assert "ground_truth" in ds[0]
+
+    (_, _), (base, pb), (dec, pd) = tiny_models(decoder_tile=64)
+    out = evaluate_kid(base, pb, ds, jax.random.key(0), mode="base",
+                       n_images=4, batch=2, steps=2, decoder=(dec, pd))
+    assert np.isfinite(out["kid_mean"])
+    assert out["n_images"] == 4
