@@ -106,17 +106,30 @@ def _bilinear_up(arr: np.ndarray, scale: int) -> np.ndarray:
     return np.asarray(out, dtype=np.float32).reshape(*lead, h * scale, w * scale)
 
 
-def get_terrain(world, i1: int, j1: int, i2: int, j2: int, scale: int) -> dict:
-    """Terrain at arbitrary scale (target coords); scale>1 supersamples."""
+def get_terrain(world, i1: int, j1: int, i2: int, j2: int, scale: int,
+                seed: int | None = None) -> dict:
+    """Terrain at arbitrary scale (target coords); scale>1 supersamples.
+
+    `seed` rides inside the terrain job on coalesced pipelines so the
+    request is atomic under concurrent seed changes; plain pipelines get a
+    change_seed first (single-threaded serving, no race)."""
+    kw = {}
+    if seed is not None:
+        if hasattr(world, "_coalescer"):
+            kw["seed"] = seed
+        elif world.change_seed(seed):
+            print(f"World seed changed to: {world.seed}")
     if scale == 1:
         # pack the wire formats on device: int16 elevation (bit-identical
         # to _elev_to_int16) and f16 climate — halves tunnel/PCIe fetch
         # bytes per query
-        out = world.get(i1, j1, i2, j2, with_climate=True, pack_wire=True)
+        out = world.get(i1, j1, i2, j2, with_climate=True, pack_wire=True,
+                        **kw)
         return {"elev": out["elev"], "climate": out.get("climate")}
     i1n, j1n = i1 // scale, j1 // scale
     i2n, j2n = -(-i2 // scale), -(-j2 // scale)
-    out_native = world.get(i1n - 1, j1n - 1, i2n + 1, j2n + 1, with_climate=True)
+    out_native = world.get(i1n - 1, j1n - 1, i2n + 1, j2n + 1,
+                           with_climate=True, **kw)
     out_h, out_w = i2 - i1, j2 - j1
     pad_up = scale
     off_i = i1 - i1n * scale
@@ -156,9 +169,7 @@ def terrain(req):
             raise ValueError("scale must be >= 1")
         world = _get_pipeline()
         seed = req.args.get("seed", type=int)
-        if seed is not None and world.change_seed(seed):
-            print(f"World seed changed to: {world.seed}")
-        out = get_terrain(world, i1, j1, i2, j2, scale)
+        out = get_terrain(world, i1, j1, i2, j2, scale, seed=seed)
         return _binary_response(out["elev"], out.get("climate"))
     except Exception as e:  # noqa: BLE001 — same error surface as reference
         return jsonify({"error": str(e)}, 400)

@@ -18,6 +18,14 @@ invariant the tile stores rely on still holds.  Mutating jobs (seed change,
 SNR change) run solo, between batches; ordering across *concurrent* clients
 is unspecified (as for any concurrent server), while each client's own
 request order is preserved by its blocking round trip.
+
+Per-request seeds are part of the terrain job (``seed=``), NOT a separate
+mutator: the worker groups a drained batch by requested seed and switches
+the world once per group, so a client asking for ``?seed=X`` always gets
+seed-X terrain even when another client changes the seed concurrently.
+A job may carry several boxes (``get_terrain_boxes``) — they are served
+under one seed in one batch, which is what the Minecraft API's
+elevation+climate+padding triplets need to stay mutually consistent.
 """
 from __future__ import annotations
 
@@ -50,8 +58,10 @@ class _Job:
 class RequestCoalescer:
     """Single pipeline-owner worker with cross-request terrain batching.
 
-    - ``get_terrain(i1, j1, i2, j2, with_climate)`` blocks the calling
-      thread until its tile is composed; concurrent calls coalesce.
+    - ``get_terrain(i1, j1, i2, j2, with_climate, pack_wire, seed)`` blocks
+      the calling thread until its tile is composed; concurrent calls
+      coalesce.  ``get_terrain_boxes`` submits several boxes as ONE atomic
+      job (list result).
     - ``run(fn)`` submits an arbitrary pipeline-mutating callable
       ``fn(world) -> result`` executed solo on the worker thread (seed
       changes, custom conditioning, stats reads).
@@ -74,9 +84,18 @@ class RequestCoalescer:
     # Client surface (any thread)
     # ------------------------------------------------------------------
     def get_terrain(self, i1: int, j1: int, i2: int, j2: int,
-                    with_climate: bool = True, pack_wire: bool = False) -> dict:
-        job = _Job("terrain", ((int(i1), int(j1), int(i2), int(j2)),
-                               bool(with_climate), bool(pack_wire)))
+                    with_climate: bool = True, pack_wire: bool = False,
+                    seed: int | None = None) -> dict:
+        return self.get_terrain_boxes([(i1, j1, i2, j2)], with_climate,
+                                      pack_wire, seed)[0]
+
+    def get_terrain_boxes(self, boxes, with_climate: bool = True,
+                          pack_wire: bool = False,
+                          seed: int | None = None) -> list:
+        """Several boxes as ONE job: served together, under one seed."""
+        boxes = tuple(tuple(int(c) for c in b) for b in boxes)
+        job = _Job("terrain", (boxes, bool(with_climate), bool(pack_wire),
+                               None if seed is None else int(seed)))
         self._submit(job)
         return job.wait()
 
@@ -96,13 +115,17 @@ class RequestCoalescer:
                 raise RuntimeError("RequestCoalescer is closed")
             self._queue.put(job)
 
-    def close(self):
+    def close(self, timeout: float = 60.0) -> bool:
+        """Stop the worker; returns True when it actually exited.  A False
+        return means a generation pass is still running — the caller must
+        NOT tear down the underlying pipeline (a closed tile store under a
+        live worker corrupts in-flight requests)."""
         with self._lifecycle:
-            if self._closed:
-                return
-            self._closed = True
-            self._queue.put(_Job("stop", None))
-        self._thread.join(timeout=5)
+            if not self._closed:
+                self._closed = True
+                self._queue.put(_Job("stop", None))
+        self._thread.join(timeout=timeout)
+        return not self._thread.is_alive()
 
     # ------------------------------------------------------------------
     # Worker (owns the pipeline)
@@ -118,8 +141,23 @@ class RequestCoalescer:
                     batch.append(self._queue.get_nowait())
                 except queue.Empty:
                     break
-            if self._process(batch):  # a stop job was drained
-                return
+            try:
+                if self._process(batch):  # a stop job was drained
+                    return
+            except BaseException as e:  # noqa: BLE001 — worker must not
+                # die silently: blocked clients would hang forever
+                err = RuntimeError(f"coalescer worker died: {e!r}")
+                for j in batch:
+                    if not j.event.is_set():
+                        j.finish(error=err)
+                with self._lifecycle:
+                    self._closed = True
+                while True:  # unblock anything already queued
+                    try:
+                        self._queue.get_nowait().finish(error=err)
+                    except queue.Empty:
+                        break
+                raise
 
     def _process(self, batch) -> bool:
         """Run one drained batch; returns True when a stop job was seen
@@ -142,25 +180,69 @@ class RequestCoalescer:
                 job.finish(error=e)
         if not terrain_jobs:
             return stop
-        # … then all terrain queries as one coalesced generation pass.
-        # with_climate=True superset-plans for mixed batches (harmless).
-        queries = [j.payload[0] for j in terrain_jobs]
-        any_climate = any(j.payload[1] for j in terrain_jobs)
-        try:
-            self.world.prefetch(queries, with_climate=any_climate)
-        except Exception as e:  # noqa: BLE001
-            for j in terrain_jobs:
-                j.finish(error=e)
-            return stop
+        # … then terrain, grouped by requested seed: seedless jobs first
+        # (current world seed), then each explicit seed in arrival order.
+        groups: dict = {}
         for j in terrain_jobs:
-            (i1, j1_, i2, j2), with_climate, pack_wire = j.payload
-            try:
-                j.finish(result=self.world.get(i1, j1_, i2, j2,
-                                               with_climate=with_climate,
-                                               pack_wire=pack_wire))
-            except Exception as e:  # noqa: BLE001
-                j.finish(error=e)
+            groups.setdefault(j.payload[3], []).append(j)
+        order = list(groups)
+        if None in groups:
+            order.remove(None)
+            order.insert(0, None)
+        for seed_key in order:
+            jobs = groups[seed_key]
+            if seed_key is not None:
+                try:
+                    if self.world.change_seed(seed_key):
+                        print(f"World seed changed to: {self.world.seed}")
+                except Exception as e:  # noqa: BLE001
+                    for j in jobs:
+                        j.finish(error=e)
+                    continue
+            self._serve(jobs)
         return stop
+
+    def _serve(self, jobs):
+        """One coalesced generation + composition pass over the jobs'
+        boxes (get_many: grouped vmapped composes, overlapped D2H); falls
+        back to per-job gets so one bad query cannot fail its batchmates."""
+        parts: dict = {}
+        for j in jobs:
+            parts.setdefault((j.payload[1], j.payload[2]), []).append(j)
+        if len(parts) > 1:
+            # mixed climate/wire flags: one union generation pass up front
+            # so the per-partition get_many calls below share stage batches
+            # (get_many prefetches internally, so a single partition needs
+            # no extra pass)
+            all_boxes = [b for j in jobs for b in j.payload[0]]
+            any_climate = any(j.payload[1] for j in jobs)
+            try:
+                self.world.prefetch(all_boxes, with_climate=any_climate)
+            except Exception as e:  # noqa: BLE001
+                for j in jobs:
+                    j.finish(error=e)
+                return
+        for (wc, pw), js in parts.items():
+            boxes = [b for j in js for b in j.payload[0]]
+            try:
+                results = self.world.get_many(boxes, with_climate=wc,
+                                              pack_wire=pw)
+            except Exception:  # noqa: BLE001 — isolate per job below
+                results = None
+            if results is not None:
+                k = 0
+                for j in js:
+                    n = len(j.payload[0])
+                    j.finish(result=list(results[k:k + n]))
+                    k += n
+                continue
+            for j in js:
+                try:
+                    j.finish(result=[
+                        self.world.get(*b, with_climate=wc, pack_wire=pw)
+                        for b in j.payload[0]])
+                except Exception as e:  # noqa: BLE001
+                    j.finish(error=e)
 
 
 class CoalescedPipeline:
@@ -169,7 +251,8 @@ class CoalescedPipeline:
     ``get()`` coalesces with other in-flight requests; known mutators
     (seed/SNR/conditioning/cache) run solo on the worker thread; everything
     else proxies read-only to the underlying pipeline.  Drop-in for the
-    serving handlers — they keep calling the WorldPipeline surface.
+    serving handlers — they keep calling the WorldPipeline surface, plus
+    ``seed=`` on get/get_boxes for atomic per-request seeds.
     """
 
     _MUTATORS = ("change_seed", "set_cond_snr", "set_custom_conditioning_import",
@@ -180,9 +263,15 @@ class CoalescedPipeline:
         self._coalescer = RequestCoalescer(world, max_batch=max_batch)
 
     def get(self, i1, j1, i2, j2, with_climate: bool = True,
-            pack_wire: bool = False) -> dict:
+            pack_wire: bool = False, seed: int | None = None) -> dict:
         return self._coalescer.get_terrain(i1, j1, i2, j2, with_climate,
-                                           pack_wire)
+                                           pack_wire, seed)
+
+    def get_boxes(self, boxes, with_climate: bool = True,
+                  pack_wire: bool = False, seed: int | None = None) -> list:
+        """Several boxes as one atomic job (one seed, one batch)."""
+        return self._coalescer.get_terrain_boxes(boxes, with_climate,
+                                                 pack_wire, seed)
 
     def get_many(self, queries, with_climate: bool = True,
                  pack_wire: bool = False) -> list:
@@ -191,8 +280,14 @@ class CoalescedPipeline:
                                  pack_wire=pack_wire))
 
     def close(self):
-        self._coalescer.close()
-        self._world.close()
+        if self._coalescer.close():
+            self._world.close()
+        else:
+            # a generation pass is still running on the worker; closing the
+            # tile store under it would corrupt in-flight requests — leak
+            # the pipeline instead (the daemon thread dies with the process)
+            print("[CoalescedPipeline] worker still busy after close "
+                  "timeout; leaving the pipeline open")
 
     def __getattr__(self, name):
         if name in self._MUTATORS:

@@ -20,7 +20,9 @@ class Request:
         self.environ = environ
         self.method = environ["REQUEST_METHOD"]
         self.path = environ["PATH_INFO"]
-        self._args = {k: v[-1] for k, v in
+        # FIRST occurrence of a repeated parameter, matching the reference
+        # server's werkzeug args.get semantics
+        self._args = {k: v[0] for k, v in
                       parse_qs(environ.get("QUERY_STRING", "")).items()}
         self._body = None
 

@@ -275,7 +275,7 @@ def classify_biome(elev, climate, i0, j0, elev_padded, pixel_size_m=90.0) -> np.
 
 
 def get_upsampled(world, i1, j1, i2, j2, scale, noise_scale=1.0,
-                  pixel_size_m=90.0) -> dict:
+                  pixel_size_m=90.0, get_kwargs=None) -> dict:
     """Bilinear upsample + slope-modulated Perlin detail restoration
     (reference `_get_upsampled`, `minecraft_api.py:264-354`)."""
     import jax.numpy as jnp
@@ -284,7 +284,8 @@ def get_upsampled(world, i1, j1, i2, j2, scale, noise_scale=1.0,
 
     i1n, j1n = i1 // scale, j1 // scale
     i2n, j2n = -(-i2 // scale), -(-j2 // scale)
-    out_native = world.get(i1n - 2, j1n - 2, i2n + 2, j2n + 2, with_climate=True)
+    out_native = world.get(i1n - 2, j1n - 2, i2n + 2, j2n + 2,
+                           with_climate=True, **(get_kwargs or {}))
     elev_native = np.asarray(out_native["elev"])
     climate_native = out_native.get("climate")
 
@@ -332,6 +333,15 @@ def _parse_quad(req):
     return i1, j1, i2, j2
 
 
+def _tensor_to_json(elev) -> dict:
+    """format=json body, exactly the reference's `_tensor_to_json`
+    (`minecraft_api.py:74-80`): dtype + [h, w] shape + nested list."""
+    arr = np.asarray(elev, np.float32)
+    return {"dtype": "float32",
+            "shape": [int(arr.shape[0]), int(arr.shape[1])],
+            "elev": arr.tolist()}
+
+
 def _binary_response(elev, biome=None) -> Response:
     elev_i16 = np.clip(np.floor(np.asarray(elev, np.float32)),
                        -32768, 32767).astype("<i2")
@@ -348,24 +358,40 @@ def health(req):
     return jsonify({"status": "ok"})
 
 
-def _maybe_update_seed(req, world):
+def _seed_kwargs(req, world):
+    """Per-request seed handling: on a coalesced pipeline the seed rides
+    INSIDE the terrain job (atomic under concurrent seed changes); on a
+    plain pipeline (single-threaded serving) change the seed up front."""
     seed = req.args.get("seed", type=int)
-    if seed is not None and world.change_seed(seed):
+    if seed is None:
+        return {}
+    if hasattr(world, "_coalescer"):
+        return {"seed": seed}
+    if world.change_seed(seed):
         print(f"World seed changed to: {world.seed}")
+    return {}
 
 
 def _handle_1x(req):
     i1, j1, i2, j2 = _parse_quad(req)
     world = _get_pipeline()
-    _maybe_update_seed(req, world)
-    out_pad = world.get(i1 - 1, j1 - 1, i2 + 1, j2 + 1, with_climate=False)
-    out = world.get(i1, j1, i2, j2, with_climate=True)
+    kw = _seed_kwargs(req, world)
+    if hasattr(world, "get_boxes"):
+        # ONE atomic job: both boxes under one seed in one batch, so the
+        # Sobel slope never mixes elevations from two different worlds
+        out_pad, out = world.get_boxes(
+            [(i1 - 1, j1 - 1, i2 + 1, j2 + 1), (i1, j1, i2, j2)],
+            with_climate=True, **kw)
+    else:
+        out_pad = world.get(i1 - 1, j1 - 1, i2 + 1, j2 + 1,
+                            with_climate=False)
+        out = world.get(i1, j1, i2, j2, with_climate=True)
     elev = np.asarray(out["elev"])
     biome = classify_biome(elev, out.get("climate"), i1, j1,
                            elev_padded=np.asarray(out_pad["elev"]),
                            pixel_size_m=world.native_resolution)
     if req.args.get("format") == "json":
-        return jsonify({"elev": elev.tolist()})
+        return jsonify(_tensor_to_json(elev))
     return _binary_response(elev, biome=biome)
 
 
@@ -376,15 +402,16 @@ def _handle_upsampled(req, scale: int):
     except ValueError:
         noise_scale = 1.0
     world = _get_pipeline()
-    _maybe_update_seed(req, world)
+    kw = _seed_kwargs(req, world)
     pixel_size_m = world.native_resolution / scale
     out = get_upsampled(world, i1, j1, i2, j2, scale=scale,
-                        noise_scale=noise_scale, pixel_size_m=pixel_size_m)
+                        noise_scale=noise_scale, pixel_size_m=pixel_size_m,
+                        get_kwargs=kw)
     biome = classify_biome(out["elev_smooth"], out.get("climate"), i1, j1,
                            elev_padded=out["elev_padded"],
                            pixel_size_m=pixel_size_m)
     if req.args.get("format") == "json":
-        return jsonify({"elev": np.asarray(out["elev"]).tolist()})
+        return jsonify(_tensor_to_json(np.asarray(out["elev"])))
     return _binary_response(out["elev"], biome=biome)
 
 

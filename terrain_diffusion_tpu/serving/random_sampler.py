@@ -14,20 +14,42 @@ from terrain_diffusion_tpu.serving.relief_map import get_relief_map
 def sample_random_tiles(world, n: int = 4, tile: int = 512, seed: int = 0,
                         land_bias_tries: int = 8, separation: int = 200 * 256):
     """Yield (center, region) dicts at random far-apart locations, preferring
-    tiles with land (coarse-channel screening before full generation)."""
+    tiles with land (coarse-channel screening before full generation).
+
+    `separation` is enforced as a minimum center distance between yielded
+    tiles; the candidate range scales with n and separation so the promise
+    is actually satisfiable."""
     rng = np.random.default_rng(seed)
+    sep_cells = max(-(-int(separation) // 256), 1)
+    span = max(30, 2 * sep_cells * max(n, 1))
+    chosen: list[tuple[int, int]] = []
+
+    def far_enough(ci, cj):
+        return all(max(abs(ci - a), abs(cj - b)) >= sep_cells
+                   for a, b in chosen)
+
     for _ in range(n):
         best = None
         for _ in range(land_bias_tries):
-            ci = int(rng.integers(-30, 30))
-            cj = int(rng.integers(-30, 30))
+            ci = int(rng.integers(-span, span))
+            cj = int(rng.integers(-span, span))
+            if not far_enough(ci, cj):
+                continue
             coarse = world.coarse[:, ci:ci + 2, cj:cj + 2]
             elev_ss = (coarse[0] / np.maximum(coarse[-1], 1e-6)).mean()
             if best is None or elev_ss > best[0]:
                 best = (float(elev_ss), ci, cj)
             if elev_ss > 0:
                 break
+        if best is None:  # every candidate was too close: take any far cell
+            while True:
+                ci = int(rng.integers(-span, span))
+                cj = int(rng.integers(-span, span))
+                if far_enough(ci, cj):
+                    best = (0.0, ci, cj)
+                    break
         _, ci, cj = best
+        chosen.append((ci, cj))
         center_i, center_j = ci * 256, cj * 256
         half = tile // 2
         region = world.get(center_i - half, center_j - half,

@@ -113,14 +113,64 @@ def test_errors_propagate_to_the_caller():
     except ValueError as e:
         raised = str(e) == "nope"
     assert raised
-    # terrain errors too
+    # terrain errors too: when BOTH the coalesced get_many and the
+    # per-job fallback fail, the caller sees the error
     world.prefetch = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("gen"))
+    world.get = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("gen"))
     try:
         c.get_terrain(0, 0, 4, 4)
         raised = False
     except RuntimeError as e:
         raised = str(e) == "gen"
     assert raised
+    c.close()
+
+
+def test_get_many_failure_falls_back_per_job():
+    """A get_many failure must not fail the whole batch: jobs are retried
+    individually so one bad query cannot poison its batchmates."""
+    world = FakeWorld(prefetch_s=0.0)
+    world.get_many = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("gm"))
+    c = RequestCoalescer(world)
+    out = c.get_terrain(3, 0, 7, 4)
+    assert out["elev"][0, 0] == 3000.0  # served via the per-job fallback
+    c.close()
+
+
+def test_per_request_seed_is_atomic():
+    """?seed=X requests generate under seed X even when other clients
+    change the seed concurrently — seed rides inside the terrain job."""
+    world = FakeWorld(prefetch_s=0.05)
+    seeds_at_get = []
+    orig_get = world.get
+
+    def record_get(*a, **k):
+        seeds_at_get.append(world.seed)
+        return orig_get(*a, **k)
+
+    world.get = record_get
+    c = RequestCoalescer(world)
+    results = {}
+
+    def client(k, seed):
+        results[k] = c.get_terrain(k, 0, k + 4, 4, seed=seed)
+
+    threads = [threading.Thread(target=client, args=(k, 100 + k))
+               for k in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=10)
+    c.close()
+    # each get ran under ITS requested seed (order across seeds is free)
+    assert sorted(seeds_at_get) == [100, 101, 102, 103], seeds_at_get
+
+
+def test_multi_box_job_served_under_one_seed():
+    world = FakeWorld(prefetch_s=0.0)
+    c = RequestCoalescer(world)
+    outs = c.get_terrain_boxes([(0, 0, 4, 4), (4, 0, 8, 4)], seed=7)
+    assert len(outs) == 2 and world.seed == 7
     c.close()
 
 
