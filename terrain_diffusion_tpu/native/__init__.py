@@ -161,3 +161,10 @@ try:
     lib = _load()
 except ImportError:
     lib = None
+
+
+def get_native():
+    """The loaded native library or None — the one shared accessor for the
+    ops-layer fast paths (import of this package is already lazy/fail-safe,
+    so callers just guard on the None)."""
+    return lib

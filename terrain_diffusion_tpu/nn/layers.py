@@ -235,7 +235,7 @@ def _attention(p, x, num_heads: int, compute_dtype, attention_impl: str = "xla")
     if attention_impl == "pallas":
         from terrain_diffusion_tpu.ops import pallas_attention as pa
 
-        if pa.pallas_available():
+        if pa.pallas_available() and pa.attention_eligible(y, num_heads):
             out = pa.fused_pixelnorm_attention(y, num_heads).astype(x.dtype)
             return mp_conv_apply(p["attn_proj"], out, compute_dtype=compute_dtype)
     ch = c // num_heads

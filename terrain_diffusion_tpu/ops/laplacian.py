@@ -66,7 +66,15 @@ def laplacian_encode(x, downsample_size, sigma: float, extrapolate: bool = False
     lowres = blur(resize(x, downsample_size)); residual = x - upsample(lowres).
     """
     if isinstance(downsample_size, int):
-        downsample_size = (downsample_size, downsample_size)
+        # torchvision TF.resize(int) semantics (the reference passes ints):
+        # the SMALLER edge becomes downsample_size, aspect ratio preserved
+        h, w = x.shape[-2:]
+        if h <= w:
+            downsample_size = (downsample_size,
+                               max(int(round(downsample_size * w / h)), 1))
+        else:
+            downsample_size = (max(int(round(downsample_size * h / w)), 1),
+                               downsample_size)
     lowres = resize_bilinear(x, downsample_size)
     lowres = gaussian_blur(lowres, _blur_kernel_size(sigma), sigma)
     if extrapolate:

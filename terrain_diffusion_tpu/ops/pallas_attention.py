@@ -61,6 +61,21 @@ def _attn_kernel(qkv_ref, out_ref, *, ch: int, hw: int, eps: float):
     out_ref[0] = out.astype(out_ref.dtype)
 
 
+def attention_eligible(qkv, num_heads: int) -> bool:
+    """VMEM feasibility: each program holds a (HW, HW) f32 logit matrix
+    plus qkv slices; beyond ~2048 tokens that blows the budget and the XLA
+    path handles it fine."""
+    n, h, w, c3 = qkv.shape
+    c = c3 // 3
+    if num_heads <= 0 or c % num_heads:
+        return False
+    hw = h * w
+    ch = c // num_heads
+    # logits + softmax temporaries (~3x) + qkv/out slices, f32
+    vmem = 3 * hw * hw * 4 + 4 * ch * hw * 4
+    return hw <= 2048 and vmem <= 64 * 1024 * 1024
+
+
 @functools.partial(jax.jit, static_argnames=("num_heads", "eps"))
 def fused_pixelnorm_attention(qkv: jnp.ndarray, num_heads: int,
                               eps: float = 1e-4) -> jnp.ndarray:

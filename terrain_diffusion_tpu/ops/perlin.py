@@ -60,10 +60,12 @@ def _perlin_single_np(seed: np.int32, x: np.ndarray, y: np.ndarray) -> np.ndarra
         y0p = (y0.astype(np.int32).view(np.uint32) * _PRIME_Y.view(np.uint32)).view(np.int32)
         x1p = (x0p.view(np.uint32) + _PRIME_X.view(np.uint32)).view(np.int32)
         y1p = (y0p.view(np.uint32) + _PRIME_Y.view(np.uint32)).view(np.int32)
-    xf0 = _grad_coord(seed, x0p, y0p, xd0, yd0) + xs * (
-        _grad_coord(seed, x1p, y0p, xd1, yd0) - _grad_coord(seed, x0p, y0p, xd0, yd0))
-    xf1 = _grad_coord(seed, x0p, y1p, xd0, yd1) + xs * (
-        _grad_coord(seed, x1p, y1p, xd1, yd1) - _grad_coord(seed, x0p, y1p, xd0, yd1))
+    g00 = _grad_coord(seed, x0p, y0p, xd0, yd0)
+    g10 = _grad_coord(seed, x1p, y0p, xd1, yd0)
+    g01 = _grad_coord(seed, x0p, y1p, xd0, yd1)
+    g11 = _grad_coord(seed, x1p, y1p, xd1, yd1)
+    xf0 = g00 + xs * (g10 - g00)
+    xf1 = g01 + xs * (g11 - g01)
     return (xf0 + ys * (xf1 - xf0)) * np.float32(1.4247691104677813)
 
 
@@ -95,21 +97,12 @@ def perlin_fbm_np(seed: int, frequency: float, octaves: int, lacunarity: float,
     return total
 
 
-_native = None
-_native_checked = False
-
-
 def _get_native():
-    global _native, _native_checked
-    if not _native_checked:
-        _native_checked = True
-        try:
-            from terrain_diffusion_tpu.native import lib
-
-            _native = lib
-        except Exception:
-            _native = None
-    return _native
+    try:
+        from terrain_diffusion_tpu.native import get_native
+    except Exception:
+        return None
+    return get_native()
 
 
 def perlin_fbm(seed: int, frequency: float, octaves: int, lacunarity: float,
@@ -169,7 +162,14 @@ def perlin_fbm_jax(seed, frequency, octaves: int, lacunarity, gain, xs, ys):
     bounding = fractal_bounding(octaves, gain)
     total = jnp.zeros_like(x)
     amp = bounding
-    s = jnp.int32(seed)
+    # same positive-int32 seed domain as the host paths (perlin_fbm masks
+    # identically) — 64-bit world seeds must not overflow int32, and the
+    # device field must match the host field for the same nominal seed
+    if hasattr(seed, "dtype"):  # traced: keep the low 31 bits, x64-safe
+        s = (jnp.asarray(seed).astype(jnp.uint32)
+             & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    else:
+        s = jnp.int32(int(seed) & 0x7FFFFFFF)
     for i in range(octaves):
         total = total + _perlin_single_jax(s + i, x, y) * amp
         x = x * lacunarity

@@ -127,21 +127,12 @@ def _fill_standard_normal_numpy(seed: int, out: np.ndarray) -> None:
             break
 
 
-_native = None
-_native_checked = False
-
-
 def _get_native():
-    global _native, _native_checked
-    if not _native_checked:
-        _native_checked = True
-        try:
-            from terrain_diffusion_tpu.native import lib as _lib
-
-            _native = _lib  # may be None if the build failed
-        except Exception:
-            _native = None
-    return _native
+    try:
+        from terrain_diffusion_tpu.native import get_native
+    except Exception:
+        return None
+    return get_native()
 
 
 def fill_standard_normal(seed: int, out: np.ndarray) -> None:
@@ -150,6 +141,13 @@ def fill_standard_normal(seed: int, out: np.ndarray) -> None:
     nat = _get_native()
     if nat is not None and out.dtype == np.float32 and out.flags.c_contiguous:
         nat.fill_standard_normal_f32(seed, out)
+        return
+    if not out.flags.c_contiguous:
+        # ravel() on a non-contiguous array is a COPY — the numpy filler
+        # would silently write into a throwaway buffer
+        tmp = np.empty(out.shape, dtype=out.dtype)
+        _fill_standard_normal_numpy(seed, tmp)
+        np.copyto(out, tmp)
         return
     _fill_standard_normal_numpy(seed, out)
 

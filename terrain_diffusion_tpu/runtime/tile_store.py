@@ -41,7 +41,8 @@ class MemoryTileStore:
             return arr
 
     def contains(self, tensor_id: str, idx: tuple) -> bool:
-        return self._key(tensor_id, idx) in self._data
+        with self._lock:
+            return self._key(tensor_id, idx) in self._data
 
     def put(self, tensor_id: str, idx: tuple, arr: np.ndarray):
         k = self._key(tensor_id, idx)
@@ -108,7 +109,8 @@ class HDF5TileStore:
 
     def contains(self, tensor_id: str, idx: tuple) -> bool:
         k = (tensor_id, tuple(int(i) for i in idx))
-        return k in self._cache or self._name(tensor_id, idx) in self.file
+        with self._lock:
+            return k in self._cache or self._name(tensor_id, idx) in self.file
 
     def put(self, tensor_id: str, idx: tuple, arr: np.ndarray):
         name = self._name(tensor_id, idx)
@@ -122,6 +124,7 @@ class HDF5TileStore:
             self.file.create_dataset(name, data=arr, **kwargs)
             k = (tensor_id, tuple(int(i) for i in idx))
             self._cache[k] = arr
+            self._cache.move_to_end(k)  # a rewrite is the hottest entry
             while len(self._cache) > self._cache_size:
                 self._cache.popitem(last=False)
 
