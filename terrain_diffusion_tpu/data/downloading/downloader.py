@@ -62,6 +62,7 @@ def download_cell(ee, dataset: str, cell_id: str, bounds, out_folder: str,
     region = ee.Geometry.Rectangle(list(bounds))
     img = ee.Image(asset).select(band)
     for attempt in range(retries):
+        tmp = None
         try:
             url = img.getDownloadURL({
                 "region": region, "scale": scale, "format": "GEO_TIFF"})
@@ -71,6 +72,11 @@ def download_cell(ee, dataset: str, cell_id: str, bounds, out_folder: str,
             os.replace(tmp, out_path)  # atomic
             return True
         except Exception as e:  # noqa: BLE001 — retry loop
+            if tmp is not None:  # a leaked partial .tif would be globbed
+                try:             # up as data by the dataset builders
+                    os.unlink(tmp)
+                except OSError:
+                    pass
             print(f"cell {cell_id} attempt {attempt + 1} failed: {e}")
             time.sleep(2.0 * (attempt + 1))
     return False

@@ -48,6 +48,7 @@ def build_base_dataset(
             return chunk_id not in res_group
 
         todo = [(str(i), b) for i, b in enumerate(cells) if want(str(i))]
+        todo_skipped = len(todo) < len(cells)
         print(f"{len(todo)} cells to process ({len(cells)} total)")
 
         def work(item):
@@ -83,12 +84,23 @@ def build_base_dataset(
                         d.attrs["split"] = "train"
                     stats.update(c["residual"][None])
                     lf_stats.update(c["lowfreq"][None])
-        res_group.attrs["residual_mean"] = stats.mean[0]
-        res_group.attrs["residual_std"] = stats.std[0]
-        res_group.attrs["lowfreq_mean"] = lf_stats.mean[0]
-        res_group.attrs["lowfreq_std"] = lf_stats.std[0]
-    print(f"residual stats: mean={stats.mean[0]:.4f} std={stats.std[0]:.4f}")
-    print(f"lowfreq stats: mean={lf_stats.mean[0]:.4f} std={lf_stats.std[0]:.4f}")
+        # Never clobber dataset-wide stats on a resume: this run's Welford
+        # accumulators only saw NEWLY processed chunks (a no-op rerun would
+        # write std=0 and poison every consumer's normalization)
+        if not stats.count.any():
+            print("no new chunks: keeping the existing stats attrs")
+        elif "residual_mean" in res_group.attrs and todo_skipped:
+            print(f"resume: {stats.count} new samples NOT folded into the "
+                  "stored stats attrs (they cover the full prior build); "
+                  "delete the attrs to force a recompute from a full rerun")
+        else:
+            res_group.attrs["residual_mean"] = stats.mean[0]
+            res_group.attrs["residual_std"] = stats.std[0]
+            res_group.attrs["lowfreq_mean"] = lf_stats.mean[0]
+            res_group.attrs["lowfreq_std"] = lf_stats.std[0]
+    if stats.count.any():
+        print(f"residual stats: mean={stats.mean[0]:.4f} std={stats.std[0]:.4f}")
+        print(f"lowfreq stats: mean={lf_stats.mean[0]:.4f} std={lf_stats.std[0]:.4f}")
 
 
 @click.command()

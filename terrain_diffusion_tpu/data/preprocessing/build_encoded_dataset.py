@@ -60,10 +60,20 @@ def build_encoded_dataset(h5_file: str, model_path: str, resolution: int = 90,
             d.attrs["pct_land"] = g["residual"].attrs["pct_land"]
             d.attrs["split"] = g["residual"].attrs.get("split", "train")
             lc = ae.config.latent_channels
-            stats.update(np.moveaxis(enc[0, :lc], 0, 0))
-        res_group.attrs["latents_mean"] = stats.mean.tolist()
-        res_group.attrs["latents_std"] = stats.std.tolist()
-    print(f"latent stats: mean={stats.mean} std={stats.std}")
+            # only the identity-augmentation means (enc[0]) feed the stats
+            stats.update(enc[0, :lc])
+        # Never clobber dataset-wide stats on a resume: this run only saw
+        # newly encoded subchunks (a no-op rerun would write zeros)
+        if not stats.count.any():
+            print("no new subchunks: keeping the existing stats attrs")
+        elif "latents_mean" in res_group.attrs:
+            print("resume: new latents NOT folded into the stored stats "
+                  "attrs; delete the attrs to recompute from a full rerun")
+        else:
+            res_group.attrs["latents_mean"] = stats.mean.tolist()
+            res_group.attrs["latents_std"] = stats.std.tolist()
+    if stats.count.any():
+        print(f"latent stats: mean={stats.mean} std={stats.std}")
 
 
 @click.command()

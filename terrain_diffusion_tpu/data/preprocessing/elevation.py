@@ -44,7 +44,11 @@ def extract_window(path: str, bounds) -> np.ndarray | None:
     row1 = int(np.ceil((min_lat - transform.f) / transform.e))
     row0, row1 = sorted((row0, row1))
     col0, col1 = sorted((col0, col1))
+    # clamp BOTH ends (extract.py:29-30 does the same): a negative slice
+    # end would silently wrap and select a huge wrong window
     row0, col0 = max(row0, 0), max(col0, 0)
+    row1 = min(max(row1, 0), arr.shape[0])
+    col1 = min(max(col1, 0), arr.shape[1])
     out = arr[row0:row1, col0:col1].astype(np.float32)
     if nodata is not None:
         out[out == nodata] = np.nan

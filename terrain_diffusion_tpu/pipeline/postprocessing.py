@@ -58,8 +58,9 @@ def local_baseline_temperature(
     beta = jnp.clip(beta, beta_clip[0], beta_clip[1])
 
     pad = (win - 1) // 2
-    T_c = T[:, pad:-pad, pad:-pad]
-    e_c = e[:, pad:-pad, pad:-pad]
+    # pad == 0 (win=1): a -0 slice end would select NOTHING
+    T_c = T[:, pad:T.shape[1] - pad, pad:T.shape[2] - pad]
+    e_c = e[:, pad:e.shape[1] - pad, pad:e.shape[2] - pad]
     T_sea = T_c - beta * e_c
     return T_sea[0], beta[0]
 

@@ -50,13 +50,28 @@ def _noise_quantiles(freq: float, octaves: int, lacunarity: float, gain: float) 
     return _NOISE_Q_CACHE[key]
 
 
-def load_stats_cache(path: str = STATS_CACHE_PATH):
-    """Read the reference's JSON stats cache format (`synthetic_map.py:134-157`)."""
+def load_stats_cache(path: str = STATS_CACHE_PATH, expect_params=None):
+    """Read the reference's JSON stats cache format (`synthetic_map.py:134-157`).
+
+    `expect_params` ({"drop_water_pct", "frequency_mult"}) rejects a cache
+    whose recorded build parameters differ — the quantile tables bake those
+    in, so a mismatched cache would silently serve a different conditioning
+    distribution than the persisted world parameters.  Caches without a
+    params record (reference-format / pre-existing) are accepted as-is.
+    """
     if not os.path.exists(path):
         return None
     try:
         with open(path, "r", encoding="utf-8") as f:
             data = json.load(f)
+        if expect_params is not None and "params" in data:
+            got = data["params"]
+            want = {k: (list(v) if isinstance(v, (list, tuple)) else v)
+                    for k, v in expect_params.items()}
+            if any(got.get(k) != want[k] for k in want):
+                print(f"[synthetic_map] stats cache {path} was built with "
+                      f"{got}, requested {want}: ignoring the cache")
+                return None
         stats = {
             "a_temp_std": float(data["a_temp_std"]),
             "b_temp_std": float(data["b_temp_std"]),
@@ -72,8 +87,9 @@ def load_stats_cache(path: str = STATS_CACHE_PATH):
         return None
 
 
-def save_stats_cache(stats: dict, path: str = STATS_CACHE_PATH):
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+def save_stats_cache(stats: dict, path: str = STATS_CACHE_PATH, params=None):
+    if os.path.dirname(path):  # bare filenames have no directory to create
+        os.makedirs(os.path.dirname(path), exist_ok=True)
     payload = {
         "n_quantiles": 64,
         "noise_quantile_tables": [
@@ -88,6 +104,10 @@ def save_stats_cache(stats: dict, path: str = STATS_CACHE_PATH):
         "temp_std_p1": float(stats["temp_std_p1"]),
         "temp_std_p99": float(stats["temp_std_p99"]),
     }
+    if params is not None:
+        payload["params"] = {
+            k: (list(v) if isinstance(v, (list, tuple)) else v)
+            for k, v in params.items()}
     with open(path, "w", encoding="utf-8") as f:
         json.dump(payload, f)
 
@@ -139,7 +159,9 @@ def compute_map_stats(frequency_mult=(1.0, 1.0, 1.0, 1.0, 1.0),
     precip = read("precip")
     precip_cv = read("precip_cv")
 
-    valid = ~np.isnan(temp)
+    # joint mask: WorldClim layers have per-layer nodata (coastline/ice
+    # differences) and polyfit/percentile are not NaN-aware
+    valid = ~np.isnan(temp) & ~np.isnan(temp_std)
     a_temp_std, b_temp_std = np.polyfit(temp[valid], temp_std[valid], 1)
     temp_std = temp_std - (a_temp_std * temp + b_temp_std)
 
@@ -185,10 +207,16 @@ def make_synthetic_map_factory(
     callables take (i1, j1, i2, j2) and evaluate noise on a meshgrid such
     that the output is shaped (i2-i1, j2-j1).
     """
-    actual_seeds = [((seed or random.randint(0, 2**30)) + i + 1) & 0x7FFFFFFF
-                    for i in range(5)]
+    # One shared base seed (the reference's `seed or randint` draws a NEW
+    # random base per channel when seed is None, and treats the legitimate
+    # world seed 0 as unseeded — both silently break world reproducibility;
+    # identical results for every seed > 0)
+    base_seed = seed if seed is not None else random.randint(0, 2**30)
+    actual_seeds = [(base_seed + i + 1) & 0x7FFFFFFF for i in range(5)]
     if stats is None:
-        stats = load_stats_cache(stats_path)
+        stats = load_stats_cache(stats_path, expect_params={
+            "drop_water_pct": drop_water_pct,
+            "frequency_mult": list(frequency_mult)})
     if stats is None:
         from terrain_diffusion_tpu.data.default_stats import default_stats
 
@@ -268,7 +296,8 @@ def build_stats_main(data_dir, out, frequency_mult, drop_water_pct):
     reference-exact conditioning distributions)."""
     fm = [float(x) for x in frequency_mult.split(",")]
     stats = compute_map_stats(fm, drop_water_pct, data_dir)
-    save_stats_cache(stats, out)
+    save_stats_cache(stats, out, params={"drop_water_pct": drop_water_pct,
+                                         "frequency_mult": fm})
     print(f"wrote {out} (a={stats['a_temp_std']:.4f} "
           f"b={stats['b_temp_std']:.2f} "
           f"p1={stats['temp_std_p1']:.2f} p99={stats['temp_std_p99']:.2f})")
