@@ -24,9 +24,10 @@ import jax
 
 from terrain_diffusion_tpu.evaluation import (constant_weight_window,
                                               linear_weight_window)
-from terrain_diffusion_tpu.evaluation.metrics import (compute_fid, compute_kid,
+from terrain_diffusion_tpu.evaluation.metrics import (compute_fid_kid,
                                                       normalize_terrain_for_metric)
 from terrain_diffusion_tpu.evaluation.samplers import (
+    compose_terrain,
     sample_base_consistency,
     sample_decoder_consistency_tiled,
 )
@@ -98,7 +99,14 @@ def generate_samples(base_model, base_params, decoder_model, decoder_params,
         decoder_model, decoder_params, lat4, key=k2,
         tile_size=crop * latent_compression, stride=crop * latent_compression,
         latent_compression=latent_compression)
-    terrain = np.sign(np.asarray(residual)) * np.asarray(residual) ** 2
+    # full composition to meters — the real side (dataset ground_truth) is
+    # laplacian-decoded elevation, so the fake side must be too (the
+    # reference's _decode_latents_to_terrain + signed square,
+    # infinite_consistency.py:36-72,254); the generated lowfreq channel
+    # (latents[..., 4], normalized units) supplies the low band
+    terrain = compose_terrain(np.asarray(residual)[..., 0],
+                              latents[..., 4],
+                              lowfreq_normalized=True)[..., None]
     if mode == "naive":
         # central-crop the 2x2-stitched output to the same resolution as the
         # blended modes (crop*8 px) so FID/KID features are computed at one
@@ -177,8 +185,8 @@ def evaluate(base_path: str, decoder_path: str, dataset_kwargs: dict, *,
     from terrain_diffusion_tpu.evaluation.metrics import resolve_feature_fn
 
     feature_fn = resolve_feature_fn(features)
-    kid_mean, kid_std = compute_kid(real, fake, feature_fn=feature_fn)
-    fid = compute_fid(real, fake, feature_fn=feature_fn)
+    fid, kid_mean, kid_std = compute_fid_kid(real, fake,
+                                             feature_fn=feature_fn)
     return {"mode": mode, "n_images": len(fake), "kid_mean": kid_mean,
             "kid_std": kid_std, "fid": fid,
             "features": features if isinstance(features, str) else "custom"}

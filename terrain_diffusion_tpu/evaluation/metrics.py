@@ -115,7 +115,11 @@ def kid(feats_a: np.ndarray, feats_b: np.ndarray, n_subsets: int = 100,
     feats_a = (np.asarray(feats_a, np.float64) - mu) / sd
     feats_b = (np.asarray(feats_b, np.float64) - mu) / sd
     n = min(len(feats_a), len(feats_b))
-    m = subset_size or min(n, 1000)
+    # subset_size must be < n or every "random subset" is a permutation of
+    # the whole set and the reported std collapses to 0 (torchmetrics'
+    # estimator assumes subset_size < n); half the set keeps the subsets
+    # genuinely random while using most of the data
+    m = subset_size or min(max(n // 2, 1), 1000)
     d = feats_a.shape[1]
 
     def poly(x, y):
@@ -148,27 +152,37 @@ def normalize_terrain_for_metric(terrain: np.ndarray) -> np.ndarray:
     return np.clip(((t - tmid) / trange + 0.5) * 255, 0, 255)
 
 
+def extract_features(xs: np.ndarray, feature_fn: Callable = terrain_features,
+                     batch: int = 64) -> np.ndarray:
+    """Batched feature extraction (one jit per call)."""
+    out = []
+    f = jax.jit(feature_fn)
+    for i in range(0, len(xs), batch):
+        out.append(np.asarray(f(jnp.asarray(xs[i:i + batch]))))
+    return np.concatenate(out)
+
+
 def compute_kid(real: np.ndarray, fake: np.ndarray,
                 feature_fn: Callable = terrain_features,
                 batch: int = 64, **kid_kwargs) -> tuple[float, float]:
     """End-to-end KID between two image sets (any comparable normalization)."""
-    def extract(xs):
-        out = []
-        f = jax.jit(feature_fn)
-        for i in range(0, len(xs), batch):
-            out.append(np.asarray(f(jnp.asarray(xs[i:i + batch]))))
-        return np.concatenate(out)
-
-    return kid(extract(real), extract(fake), **kid_kwargs)
+    return kid(extract_features(real, feature_fn, batch),
+               extract_features(fake, feature_fn, batch), **kid_kwargs)
 
 
 def compute_fid(real: np.ndarray, fake: np.ndarray,
                 feature_fn: Callable = terrain_features, batch: int = 64) -> float:
-    def extract(xs):
-        out = []
-        f = jax.jit(feature_fn)
-        for i in range(0, len(xs), batch):
-            out.append(np.asarray(f(jnp.asarray(xs[i:i + batch]))))
-        return np.concatenate(out)
+    return frechet_distance(extract_features(real, feature_fn, batch),
+                            extract_features(fake, feature_fn, batch))
 
-    return frechet_distance(extract(real), extract(fake))
+
+def compute_fid_kid(real: np.ndarray, fake: np.ndarray,
+                    feature_fn: Callable = terrain_features,
+                    batch: int = 64, **kid_kwargs):
+    """(fid, kid_mean, kid_std) with features extracted ONCE per set —
+    separate compute_fid + compute_kid calls double the extractor passes
+    (a full InceptionV3 sweep each, when real weights are loaded)."""
+    fa = extract_features(real, feature_fn, batch)
+    fb = extract_features(fake, feature_fn, batch)
+    kid_mean, kid_std = kid(fa, fb, **kid_kwargs)
+    return frechet_distance(fa, fb), kid_mean, kid_std

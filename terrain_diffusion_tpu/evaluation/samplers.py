@@ -20,6 +20,34 @@ from terrain_diffusion_tpu.evaluation import tile_starts
 from terrain_diffusion_tpu.ops import mp
 from terrain_diffusion_tpu.ops.image import upsample_nearest
 from terrain_diffusion_tpu.ops.windows import linear_weight_window
+
+LOWFREQ_MEAN, LOWFREQ_STD = -31.4, 38.6
+
+
+def compose_terrain(residual_unit, lowfreq, *, lowfreq_normalized=False,
+                    residual_mean: float = 0.0, residual_std: float = 1.1678,
+                    denoise: bool = True, extrapolate: bool = True):
+    """Normalized decoder residual (+ lowfreq) -> terrain in meters.
+
+    The reference's `_decode_latents_to_terrain` chain
+    (evaluation/infinite_consistency.py:36-72): de-normalize the residual
+    with the residual stats, de-normalize the lowfreq when it is in
+    normalized units, `laplacian_denoise(sigma=5)`, extrapolated
+    `laplacian_decode`, signed square.  Every eval that compares decoded
+    terrain against real DEM data must go through this ONE chain — scale
+    mismatches between the real and fake sides silently dominate FID/KID.
+    """
+    from terrain_diffusion_tpu.ops.laplacian import (laplacian_decode,
+                                                     laplacian_denoise)
+
+    hf = jnp.asarray(residual_unit, jnp.float32) * residual_std + residual_mean
+    lf = jnp.asarray(lowfreq, jnp.float32)
+    if lowfreq_normalized:
+        lf = lf * LOWFREQ_STD + LOWFREQ_MEAN
+    if denoise:
+        hf, lf = laplacian_denoise(hf, lf, 5.0)
+    elev = np.asarray(laplacian_decode(hf, lf, extrapolate=extrapolate))
+    return np.sign(elev) * elev ** 2
 from terrain_diffusion_tpu.scheduler import (
     EDMSchedulerConfig,
     compute_sigmas,
@@ -328,8 +356,12 @@ def sample_autoencoder_tiled(ae, params, x, *, key=None, tile_size: int = 512,
         for j0 in tile_starts(W, tile_size, stride):
             sl = (slice(None), slice(i0, i0 + tile_size),
                   slice(j0, j0 + tile_size), slice(None))
+            if key is not None:
+                key, sub = jax.random.split(key)  # fresh noise per tile —
+            else:                                 # reusing one key draws the
+                sub = None                        # same field in every tile
             means, logvars = ae.preencode(params, x[sl])
-            z = ae.postencode(means, logvars, key=key)
+            z = ae.postencode(means, logvars, key=sub)
             rec = ae.decode(params, z)
             out = out.at[sl].add(rec * weights)
             out_w = out_w.at[sl].add(jnp.broadcast_to(weights, rec.shape))

@@ -14,26 +14,17 @@ import numpy as np
 
 import jax
 
-from terrain_diffusion_tpu.evaluation.metrics import (compute_fid, compute_kid,
+from terrain_diffusion_tpu.evaluation.metrics import (compute_fid_kid,
                                                       normalize_terrain_for_metric)
 from terrain_diffusion_tpu.evaluation.samplers import (
+    compose_terrain,
     sample_base_consistency,
     sample_base_diffusion,
     sample_decoder_consistency_tiled,
     sample_decoder_diffusion_tiled,
 )
-from terrain_diffusion_tpu.ops.laplacian import laplacian_decode, laplacian_denoise
 
 
-def _decode_to_terrain(residual, lowfreq, disable_denoise: bool):
-    import jax.numpy as jnp
-
-    r = jnp.moveaxis(jnp.asarray(residual), -1, 1)[:, 0]
-    l = jnp.moveaxis(jnp.asarray(lowfreq), -1, 1)[:, 0]
-    if not disable_denoise:
-        r, l = laplacian_denoise(r, l, sigma=5)
-    elev = laplacian_decode(r, l)
-    return np.sign(np.asarray(elev)) * np.asarray(elev) ** 2
 
 
 def run_stage_eval(stage: str, model_path: str, h5_file: str, *,
@@ -75,7 +66,10 @@ def run_stage_eval(stage: str, model_path: str, h5_file: str, *,
                     model, params, gt.shape, conds, key=sub,
                     inter_t=float(np.arctan(0.35 / 0.5)))
             real.append(gt)
-            fake.append(np.asarray(out))
+            # samplers return denoised / sigma_data (unit space); the
+            # dataset image carries the *sigma_data factor — compare both
+            # in the dataset's space
+            fake.append(np.asarray(out) * 0.5)
     elif stage in ("decoder_consistency", "decoder_diffusion"):
         ds = H5DecoderTerrainDataset(
             h5_file=h5_file, crop_size=64, pct_land_ranges=[[0, 1]],
@@ -97,9 +91,19 @@ def run_stage_eval(stage: str, model_path: str, h5_file: str, *,
                     tile_size=gt.shape[1], stride=gt.shape[1],
                     guide_model=guide_model, guide_params=guide_params,
                     guidance_scale=guidance_scale)
-            real.append(_decode_to_terrain(gt, lowfreq, disable_laplacian_denoising))
-            fake.append(_decode_to_terrain(np.asarray(out), lowfreq,
-                                           disable_laplacian_denoising))
+            # one shared composition chain for BOTH sides: gt is the
+            # dataset image (normalized residual * sigma_data) and the
+            # sampler output is already /sigma_data — bring both to
+            # normalized units, then de-normalize with the dataset's
+            # residual stats inside compose_terrain
+            real.append(compose_terrain(
+                gt[..., 0] / 0.5, lowfreq[..., 0],
+                residual_mean=ds.residual_mean, residual_std=ds.residual_std,
+                denoise=not disable_laplacian_denoising))
+            fake.append(compose_terrain(
+                np.asarray(out)[..., 0], lowfreq[..., 0],
+                residual_mean=ds.residual_mean, residual_std=ds.residual_std,
+                denoise=not disable_laplacian_denoising))
     else:
         raise ValueError(f"unknown stage {stage}")
 
@@ -112,9 +116,10 @@ def run_stage_eval(stage: str, model_path: str, h5_file: str, *,
     from terrain_diffusion_tpu.evaluation.metrics import resolve_feature_fn
 
     feature_fn = resolve_feature_fn(features)
-    kid_mean, kid_std = compute_kid(real, fake, feature_fn=feature_fn)
+    fid, kid_mean, kid_std = compute_fid_kid(real, fake,
+                                             feature_fn=feature_fn)
     return {"stage": stage, "n_images": len(fake), "kid_mean": kid_mean,
-            "kid_std": kid_std, "fid": compute_fid(real, fake, feature_fn=feature_fn),
+            "kid_std": kid_std, "fid": fid,
             "features": features if isinstance(features, str) else "custom"}
 
 

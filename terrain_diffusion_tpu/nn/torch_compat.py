@@ -106,12 +106,25 @@ def _autoencoder_name_map(model: EDMAutoencoder):
     for idx, (name, cin, cout, opts) in enumerate(model.decoder_plan):
         prefix = f"decoder.{idx}"
         tp = ("decoder", name)
+        merged = {**cfg.block_kwargs, **opts}
         out.append((f"{prefix}.emb_gain", tp + ("emb_gain",), False))
-        out.append((f"{prefix}.conv_res0.weight", tp + ("conv_res0", "w"), False))
+        if (merged.get("resample_type") == "conv"
+                and merged.get("resample_mode", "keep") != "keep"):
+            # learned resampling params must round-trip or a saved conv-
+            # resample autoencoder silently loses them (falls back to
+            # parameter-free nearest resampling on load)
+            out.append((f"{prefix}.resample.weight",
+                        tp + ("resample", "w"), False))
+        if merged.get("conv_type", "default") == "mobile":
+            out.append((f"{prefix}.conv_res0.0.weight",
+                        tp + ("conv_res0_pw", "w"), False))
+            out.append((f"{prefix}.conv_res0.1.weight",
+                        tp + ("conv_res0_dw", "w"), False))
+        else:
+            out.append((f"{prefix}.conv_res0.weight", tp + ("conv_res0", "w"), False))
         out.append((f"{prefix}.conv_res1.weight", tp + ("conv_res1", "w"), False))
         if cin != cout:
             out.append((f"{prefix}.conv_skip.weight", tp + ("conv_skip", "w"), False))
-        merged = {**cfg.block_kwargs, **opts}
         if merged.get("attention") and cout // merged.get("channels_per_head", 64) > 0:
             out.append((f"{prefix}.attn_qkv.weight", tp + ("attn_qkv", "w"), False))
             out.append((f"{prefix}.attn_proj.weight", tp + ("attn_proj", "w"), False))

@@ -13,13 +13,11 @@ import jax.numpy as jnp
 from terrain_diffusion_tpu.evaluation.metrics import (compute_kid,
                                                       normalize_terrain_for_metric)
 from terrain_diffusion_tpu.evaluation.samplers import (
+    compose_terrain,
     sample_base_consistency,
     sample_base_diffusion,
     sample_decoder_consistency_tiled,
 )
-from terrain_diffusion_tpu.ops.laplacian import laplacian_decode, laplacian_denoise
-
-LOWFREQ_MEAN, LOWFREQ_STD = -31.4, 38.6
 
 
 def _latents_to_terrain(latents_unit, decoder_model, decoder_params, key, *,
@@ -50,14 +48,10 @@ def _latents_to_terrain(latents_unit, decoder_model, decoder_params, key, *,
         tile_size=lat.shape[1] * latent_compression,
         stride=lat.shape[1] * latent_compression,
         latent_compression=latent_compression)  # (B, H, W, 1), normalized
-    highfreq = (np.asarray(residual_unit)[..., 0] * residual_std
-                + residual_mean)
-    lowfreq = (np.asarray(latents_unit[..., 4], np.float32) * LOWFREQ_STD
-               + LOWFREQ_MEAN)
-    hf, lf = laplacian_denoise(jnp.asarray(highfreq), jnp.asarray(lowfreq),
-                               sigma=5.0)
-    elev = np.asarray(laplacian_decode(hf, lf))
-    return np.sign(elev) * elev ** 2
+    return compose_terrain(
+        np.asarray(residual_unit)[..., 0], latents_unit[..., 4],
+        lowfreq_normalized=True, residual_mean=residual_mean,
+        residual_std=residual_std)
 
 
 def evaluate_kid(model, params, val_dataset, key, *, mode: str = "base",

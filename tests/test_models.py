@@ -242,3 +242,26 @@ def test_mp_silu_gradient_stable_at_extremes():
     x = jnp.linspace(-20, 20, 101)
     naive = (x * (1.0 / (1.0 + jnp.exp(-x)))) / 0.596
     np.testing.assert_allclose(mp.mp_silu(x), naive, rtol=1e-6, atol=1e-7)
+
+
+def test_autoencoder_conv_resample_roundtrip(tmp_path, rng):
+    """A conv-resample autoencoder's learned resample weights must survive
+    save_model/load_model (they were silently dropped from the name map)."""
+    from terrain_diffusion_tpu.nn import torch_compat as tc
+    from terrain_diffusion_tpu.nn.edm_autoencoder import (EDMAutoencoder,
+                                                          EDMAutoencoderConfig)
+
+    ae = EDMAutoencoder(EDMAutoencoderConfig(
+        image_size=32, in_channels=1, latent_channels=2, model_channels=8,
+        model_channel_mults=(1, 2), layers_per_block=1,
+        attn_resolutions=(), midblock_attention=False,
+        block_kwargs={"resample_type": "conv"}))
+    params = ae.init(jax.random.key(0))
+    # the decoder's up block must actually carry learned resample weights
+    up_blocks = [n for n, *_ in ae.decoder_plan if n.startswith("up")]
+    assert up_blocks and "resample" in params["decoder"][up_blocks[0]]
+    tc.save_model(ae, params, str(tmp_path / "ae"))
+    _, loaded = tc.load_model(str(tmp_path / "ae"))
+    w0 = np.asarray(params["decoder"][up_blocks[0]]["resample"]["w"])
+    w1 = np.asarray(loaded["decoder"][up_blocks[0]]["resample"]["w"])
+    np.testing.assert_allclose(w0, w1, rtol=1e-6)
