@@ -102,11 +102,16 @@ def read_geotiff(path):
         sample_format = tags.get(_TAG_SAMPLE_FORMAT)
         if isinstance(sample_format, (tuple, list)):
             sample_format = sample_format[0]
+        bits = tags.get(258)  # BitsPerSample
+        if isinstance(bits, (tuple, list)):
+            bits = bits[0]
         if sample_format == 2 and arr.dtype == np.uint16:
             arr = arr.view(np.int16)
-        elif (sample_format == 2 and arr.dtype == np.int32
-              and arr.min() >= -32768 and arr.max() <= 32767):
-            # PIL decodes signed 16-bit TIFF to int32; narrow back
+        elif sample_format == 2 and arr.dtype == np.int32 and bits == 16:
+            # PIL decodes signed 16-bit TIFF to int32; narrow back.  Gate
+            # on the declared BitsPerSample — a value-range heuristic would
+            # silently narrow genuine int32 rasters whose values happen to
+            # fit, breaking write/read dtype round-trips
             arr = arr.astype(np.int16)
         transform = None
         if _TAG_MODEL_PIXEL_SCALE in tags and _TAG_MODEL_TIEPOINT in tags:
@@ -137,11 +142,15 @@ def rasterize_polygons(shapes, out_shape, fill=0.0, dtype=np.float32) -> np.ndar
     idx_img = Image.new("I", (out_shape[1], out_shape[0]), 0)
     draw = ImageDraw.Draw(idx_img)
     values = [fill]
-    for k, (ring, value) in enumerate(shapes, start=1):
+    for ring, value in shapes:
+        # ALWAYS extend the LUT so the fill index stays in sync even when a
+        # degenerate ring draws nothing (a skipped append shifted every
+        # later polygon's value and could index past the LUT)
+        values.append(value)
         if len(ring) < 3:
             continue
-        draw.polygon([(float(x), float(y)) for x, y in ring], fill=k)
-        values.append(value)
+        draw.polygon([(float(x), float(y)) for x, y in ring],
+                     fill=len(values) - 1)
     idx = np.asarray(idx_img)
     lut = np.asarray(values, dtype=np.float64)
     return lut[idx].astype(dtype)

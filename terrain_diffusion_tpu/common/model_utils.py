@@ -49,9 +49,16 @@ def get_model(checkpoint_path: str, sigma_rel: float | None = None,
         if os.path.isdir(os.path.join(checkpoint_path, "saved_model"))
         else checkpoint_path)
     if sigma_rel is not None:
-        for cand in (os.path.join(checkpoint_path, "..", "phema"),
-                     os.path.join(checkpoint_path, "phema")):
+        cands = (os.path.join(checkpoint_path, "..", "phema"),
+                 os.path.join(checkpoint_path, "phema"))
+        for cand in cands:
             if os.path.isdir(cand):
                 params = PostHocEMA.synthesize_from_folder(cand, sigma_rel, ema_step)
                 break
+        else:
+            # silently returning the RAW weights when EMA was explicitly
+            # requested would degrade eval/serving quality with no signal
+            raise FileNotFoundError(
+                f"sigma_rel={sigma_rel} requested but no phema snapshots at "
+                f"{cands[0]} or {cands[1]}")
     return model, params

@@ -32,6 +32,7 @@ def run_stage_eval(stage: str, model_path: str, h5_file: str, *,
                    decoder_path: str | None = None, guide_path: str | None = None,
                    guidance_scale: float = 1.0, n_images: int = 256,
                    batch: int = 8, steps: int = 15, seed: int = 0,
+                   inter_t: float | None = None,
                    disable_laplacian_denoising: bool = False) -> dict:
     from terrain_diffusion_tpu.nn import torch_compat
     from terrain_diffusion_tpu.training.datasets import (
@@ -64,7 +65,8 @@ def run_stage_eval(stage: str, model_path: str, h5_file: str, *,
             else:
                 out = sample_base_consistency(
                     model, params, gt.shape, conds, key=sub,
-                    inter_t=float(np.arctan(0.35 / 0.5)))
+                    inter_t=(float(np.arctan(0.35 / 0.5))
+                             if inter_t is None else float(inter_t)))
             real.append(gt)
             # samplers return denoised / sigma_data (unit space); the
             # dataset image carries the *sigma_data factor — compare both

@@ -60,7 +60,25 @@ def load_config(path: str) -> dict:
     section: dict | None = None
     with open(path) as f:
         for line in f:
-            line = line.split("#", 1)[0].rstrip() if not line.strip().startswith("#") else ""
+            if line.strip().startswith("#"):
+                line = ""
+            else:
+                # strip inline comments, but never split a '#' inside a
+                # quoted value (tag="run#3", color="#aabbcc")
+                out, quote = [], None
+                for ch in line:
+                    if quote:
+                        out.append(ch)
+                        if ch == quote:
+                            quote = None
+                    elif ch in "\"'":
+                        quote = ch
+                        out.append(ch)
+                    elif ch == "#":
+                        break
+                    else:
+                        out.append(ch)
+                line = "".join(out).rstrip()
             line = line.strip()
             if not line:
                 continue

@@ -250,6 +250,53 @@ def run_sweep(objective, space: SweepSpace, n_trials: int = 40,
     return best
 
 
+def _run_autoencoder_sweep(model, phema_dir, h5_file, space, n_trials,
+                           storage, seed, prune_probability_threshold,
+                           n_startup_trials, n_ei_candidates, prior_weight,
+                           n_images, optuna_export):
+    """EMA sigma_rel vs validation reconstruction loss (MAE + KL), the
+    reference sweep_autoencoder objective (sweep_autoencoder.py:22-74) —
+    an autoencoder cannot be driven through the diffusion KID stages."""
+    import jax
+    import numpy as np_
+
+    from terrain_diffusion_tpu.training.datasets import H5AutoencoderDataset
+    from terrain_diffusion_tpu.training.diffusion_core import autoencoder_loss
+    from terrain_diffusion_tpu.training.phema import PostHocEMA
+
+    ds = H5AutoencoderDataset(
+        h5_file=h5_file, crop_size=64, pct_land_ranges=[[0, 1]],
+        subset_resolutions=[90], split="val", eval_dataset=True)
+    rng = np_.random.default_rng(seed)
+    items = [ds[int(rng.integers(1 << 31))] for _ in range(max(n_images, 8))]
+
+    def objective(params, report):
+        ema_params = PostHocEMA.synthesize_from_folder(
+            phema_dir, params["ema_sigma"])
+        key = jax.random.key(seed)
+        losses = []
+        for i in range(0, len(items), 8):
+            batch = {"image": np_.stack(
+                [it["image"] for it in items[i:i + 8]])}
+            key, sub = jax.random.split(key)
+            loss, _aux = autoencoder_loss(model, ema_params, batch, sub)
+            losses.append(float(loss))
+            mid = float(np_.mean(losses))
+            if i and report(mid, max(float(np_.std(losses)), 1e-8)):
+                return mid, max(float(np_.std(losses)), 1e-8)
+        return (float(np_.mean(losses)),
+                max(float(np_.std(losses)), 1e-8))
+
+    run_sweep(objective, space, n_trials=n_trials, storage=storage, seed=seed,
+              prune_probability_threshold=(prune_probability_threshold or None),
+              n_startup_trials=n_startup_trials,
+              n_ei_candidates=n_ei_candidates, prior_weight=prior_weight)
+    if optuna_export and storage and os.path.exists(storage):
+        with open(storage) as f:
+            all_trials = [json.loads(line) for line in f if line.strip()]
+        export_optuna_trials(all_trials, optuna_export)
+
+
 @click.command()
 @click.argument("checkpoint_dir", type=click.Path(exists=True))
 @click.option("--mode", type=click.Choice(
@@ -288,19 +335,40 @@ def main(checkpoint_dir, mode, h5_file, n_trials, kid_n_images, storage,
     from terrain_diffusion_tpu.training.phema import PostHocEMA
 
     spec = {"ema_sigma": (min_ema_sigma, max_ema_sigma, True)}
-    if "consistency" in mode or guide_path:
+    # guidance only where the eval stage actually consumes it (diffusion
+    # sampling with a guide model); the consistency samplers take no guide,
+    # so sweeping guidance there would optimize pure noise
+    if guide_path and mode in ("diffusion_base", "diffusion_decoder"):
         spec["guidance_scale"] = (min_guidance_scale, max_guidance_scale, False)
     if mode == "consistency_base":
+        # intermediate consistency step (reference sweep_consistency_base
+        # tunes intermediate_sigma; inter_t = arctan(sigma/sigma_data))
         spec["inter_t"] = (0.3, 1.0, False)
     space = SweepSpace(spec)
 
     model, _ = torch_compat.load_model(os.path.join(checkpoint_dir, "saved_model"))
+    # training writes phema as a SIBLING of latest_checkpoint (ema_for in
+    # trainers/base.py) — accept either layout like save_model/model_utils
     phema_dir = os.path.join(checkpoint_dir, "phema")
+    if not os.path.isdir(phema_dir):
+        sibling = os.path.join(os.path.dirname(
+            os.path.abspath(checkpoint_dir)), "phema")
+        if os.path.isdir(sibling):
+            phema_dir = sibling
+        else:
+            raise FileNotFoundError(
+                f"no phema snapshots at {phema_dir} or {sibling} — the sweep "
+                "synthesizes EMA weights from PostHocEMA snapshots")
+    if mode == "autoencoder":
+        _run_autoencoder_sweep(model, phema_dir, h5_file, space, n_trials,
+                               storage, seed, prune_probability_threshold,
+                               n_startup_trials, n_ei_candidates, prior_weight,
+                               kid_n_images, optuna_export)
+        return
     stage = {"diffusion_base": "base_diffusion",
              "consistency_base": "base_consistency",
              "diffusion_decoder": "decoder_diffusion",
-             "consistency_decoder": "decoder_consistency",
-             "autoencoder": "base_diffusion"}[mode]
+             "consistency_decoder": "decoder_consistency"}[mode]
 
     def objective(params, report):
         ema_params = PostHocEMA.synthesize_from_folder(phema_dir, params["ema_sigma"])
@@ -314,12 +382,14 @@ def main(checkpoint_dir, mode, h5_file, n_trials, kid_n_images, storage,
             out = run_stage_eval(
                 stage, td, h5_file, guide_path=guide_path,
                 guidance_scale=params.get("guidance_scale", 1.0),
+                inter_t=params.get("inter_t"),
                 n_images=quarter, seed=seed)
             if report(out["kid_mean"], max(out["kid_std"], 1e-8)):
                 return out["kid_mean"], max(out["kid_std"], 1e-8)
             out = run_stage_eval(
                 stage, td, h5_file, guide_path=guide_path,
                 guidance_scale=params.get("guidance_scale", 1.0),
+                inter_t=params.get("inter_t"),
                 n_images=kid_n_images, seed=seed)
         return out["kid_mean"], max(out["kid_std"], 1e-8)
 

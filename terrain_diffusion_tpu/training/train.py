@@ -87,7 +87,11 @@ def run_training(config: dict, ckpt_path: str | None = None,
             batch = shard_batch(mesh, {
                 k: v for k, v in batch.items()
                 if isinstance(v, (np.ndarray, list)) and k != "path"})
-            key, step_key = jax.random.split(key)
+            # step keys are a pure function of (seed, step): a resumed run
+            # continues the exact key stream an uninterrupted run would use
+            # (a sequential split chain restarted from the seed would replay
+            # steps 0..N's noise against fast-forwarded data)
+            step_key = jax.random.fold_in(key, counters["step"])
             metrics = trainer.train_step(state, batch, step_key, counters)
             for k, v in metrics.items():
                 running.setdefault(k, []).append(v)
@@ -104,7 +108,8 @@ def run_training(config: dict, ckpt_path: str | None = None,
                 print(json.dumps(line), flush=True)
                 metrics_f.write(json.dumps(line) + "\n")
                 metrics_f.flush()
-            if step % (epoch_steps * save_epochs) == 0 and step > 0:
+            if save_epochs and step % (epoch_steps * save_epochs) == 0 \
+                    and step > 0:
                 counters["epoch"] = step // epoch_steps
                 trainer.save_checkpoint(state, ckpt_dir, counters)
                 print(f"checkpoint saved at step {step}")
@@ -114,7 +119,9 @@ def run_training(config: dict, ckpt_path: str | None = None,
                     and step % (epoch_steps * validate_epochs) == 0
                     and resolved.get("val_dataset") is not None
                     and hasattr(trainer, "evaluate_full")):
-                key, ek = jax.random.split(key)
+                # independent per-step eval stream (mutating `key` here
+                # would desync the train-step stream across resumes)
+                ek = jax.random.fold_in(jax.random.fold_in(key, step), 1)
                 ev = trainer.evaluate_full(state, resolved["val_dataset"], ek)
                 line = {"step": step, **ev}
                 print(json.dumps(line), flush=True)
