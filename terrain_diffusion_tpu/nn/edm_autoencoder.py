@@ -121,8 +121,11 @@ class EDMAutoencoder:
         # reference sets encoder out_gain to ones (edm_autoencoder.py:85)
         p["encoder"]["out_gain"] = jnp.ones(())
         latent_in = cfg.latent_channels + len(cfg.direct_skips) + 1
+        # must match the first decoder block's cin = channels * mults[-1]
+        # (max() disagrees for non-monotonic mults)
         p["decoder_conv"] = L.mp_conv_init(
-            next(keys), latent_in, cfg.model_channels * max(cfg.model_channel_mults), [1, 1])
+            next(keys), latent_in,
+            cfg.model_channels * cfg.model_channel_mults[-1], [1, 1])
         p["decoder"] = {}
         for name, cin, cout, opts in self.decoder_plan:
             p["decoder"][name] = L.unet_block_init(

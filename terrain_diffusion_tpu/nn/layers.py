@@ -184,6 +184,9 @@ def unet_block_init(
     no_padding: bool = False,
     expansion_factor: int = 1,
     resample_type: str = "pooling",
+    # NOTE: with resample_type='conv' the kernel size IS the resample
+    # stride/factor (reference MPConvResample sets stride = kernel[0],
+    # mp_layers.py:149) — pass resample_filter=2 for the usual 2x levels
     resample_filter: int = 4,
     **_unused,
 ):

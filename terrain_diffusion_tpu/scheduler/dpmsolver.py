@@ -219,6 +219,16 @@ def sample_dpm(
     sig_s2 = jnp.asarray(
         np.concatenate([sigmas[:2], sigmas[:-3]])[:num_steps], dtype=jnp.float32)
     ords = jnp.asarray(orders)
+    if cfg.algorithm_type == "sde-dpmsolver++":
+        if sde_noise is None:
+            raise ValueError(
+                "sde-dpmsolver++ needs sde_noise (num_steps, *x.shape): "
+                "zero noise would silently run a contracted mean update "
+                "that is neither the ODE nor the SDE")
+        if cfg.solver_order >= 3:
+            raise ValueError(
+                "sde-dpmsolver++ supports solver_order <= 2 (the order-3 "
+                "update has no noise term; the reference raises the same)")
     if sde_noise is None:
         sde_noise = jnp.zeros((num_steps,) + x_init.shape, dtype=x_init.dtype)
 

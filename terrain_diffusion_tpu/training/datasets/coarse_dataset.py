@@ -81,8 +81,9 @@ def fill_oceans(a: np.ndarray, *, tol: float = 1e-6, maxiter: int | None = None,
             coarse = np.nanmean(np.nanmean(blocks, axis=3), axis=1)
         oc_c = np.isnan(coarse)
         if oc_c.any() and not oc_c.all():
-            coarse_f = solve(np.nan_to_num(coarse, nan=0.0) * (~oc_c) +
-                             np.where(oc_c, np.nan, coarse) * 0 + coarse, oc_c, tol=1e-2)
+            # solve() reads land values from arr_in for the Dirichlet b and
+            # copies them through; ocean NaNs are never read
+            coarse_f = solve(coarse, oc_c, tol=1e-2)
         else:
             coarse_f = np.nan_to_num(coarse, nan=float(np.nanmean(arr)))
         # bilinear upsample for x0

@@ -19,7 +19,6 @@ import threading
 
 import numpy as np
 
-from terrain_diffusion_tpu.ops.mp import mp_concat
 
 LOWFREQ_MEAN = -31.4
 LOWFREQ_STD = 38.6
@@ -95,7 +94,9 @@ class H5LatentsDataset(_H5SubsetMixin):
 
         self.h5_file = h5_file
         self.crop_size = crop_size
-        self.subset_weights = np.asarray(subset_weights or [1.0], np.float64)
+        self.subset_weights = np.asarray(
+            subset_weights if subset_weights is not None
+            else [1.0] * len(pct_land_ranges or [[0, 1]]), np.float64)
         self.subset_weights /= self.subset_weights.sum()
         self.subset_class_labels = subset_class_labels
         self.eval_dataset = eval_dataset
@@ -161,8 +162,10 @@ class H5LatentsDataset(_H5SubsetMixin):
         blocks = out.reshape(oh, HALO, ow, HALO)
         with np.errstate(invalid="ignore"):
             means = blocks.mean(axis=(1, 3))[None]
-            p5 = np.nanquantile(blocks, 0.05, axis=(1, 3))[None] if False else \
-                np.quantile(blocks, 0.05, axis=(1, 3))[None]
+            # plain quantile: any block touching the out-of-bounds NaN halo
+            # becomes NaN (later mean-imputed) — the reference's exact
+            # behavior (h5_latents_dataset.py:199 uses np.quantile)
+            p5 = np.quantile(blocks, 0.05, axis=(1, 3))[None]
             climate_means = out_climate.reshape(4, oh, HALO, ow, HALO).mean(axis=(2, 4))
         mask = 1.0 - np.isnan(means).astype(np.float32)
 
@@ -197,10 +200,21 @@ class H5LatentsDataset(_H5SubsetMixin):
         mask_crop = cond_img[6:7, ch - 2:ch + 2, cw - 2:cw + 2]
         nan_mask = np.isnan(climate_crop)
         climate_crop[nan_mask] = self.rng.standard_normal(int(nan_mask.sum()))
-        return np.asarray(mp_concat(
-            [means_crop.reshape(-1), p5_crop.reshape(-1), climate_crop.reshape(-1),
-             mask_crop.reshape(-1), np.asarray(histogram_raw, np.float32),
-             np.asarray([nl], np.float32)], axis=0), np.float32)
+        # pure-NumPy mp_concat (ops/mp.py:80-89): this runs per sample in
+        # the loader's worker threads — dispatching jnp ops there would
+        # serialize on the device and contend with the training step
+        parts = [means_crop.reshape(-1).astype(np.float32),
+                 p5_crop.reshape(-1).astype(np.float32),
+                 climate_crop.reshape(-1).astype(np.float32),
+                 mask_crop.reshape(-1).astype(np.float32),
+                 np.asarray(histogram_raw, np.float32),
+                 np.asarray([nl], np.float32)]
+        k = len(parts)
+        wv = np.full((k,), 1.0 / k, np.float64)
+        c = np.sqrt(sum(p.size for p in parts) / float(np.sum(wv ** 2)))
+        return np.concatenate(
+            [p * np.float32(c / np.sqrt(p.size) * wv[i])
+             for i, p in enumerate(parts)]).astype(np.float32)
 
     def getitem(self, idx, _raw_cond=False):
         import h5py
@@ -220,8 +234,11 @@ class H5LatentsDataset(_H5SubsetMixin):
             b = int(self.rng.choice(5, p=probs))
             bucket = self.keys[subset_idx][b]
         else:
-            histogram_raw = self.rng.standard_normal(5)
-            bucket = self.keys[subset_idx][0]
+            histogram_raw = (self.rng.standard_normal(5)
+                             if not self.val_dset else np.zeros(5))
+            # beauty_dist off: sample uniformly over the WHOLE subset, not
+            # just the first beauty bucket (keys are always bucketed)
+            bucket = [k for b in self.keys[subset_idx] for k in b]
         chunk_id, res, subchunk_id = bucket[int(self.rng.integers(len(bucket)))]
 
         with h5py.File(self.h5_file, "r") as f:
@@ -406,11 +423,26 @@ class H5DecoderTerrainDataset(_H5SubsetMixin):
             flip, rotate_k = transform_idx // 4 == 1, transform_idx % 4
             li, lj = _d4_inverse_coords(li, lj, lh, lw, residual_shape[1], flip, rotate_k)
 
+            # read lowfreq at the INVERSE coords like the residual, so the
+            # forward D4 lands it on the same map window.  The reference's
+            # decoder dataset reads lowfreq at the forward coords
+            # (h5_decoder_terrain_dataset.py:198) — misaligned with its own
+            # residual for 7 of 8 transforms; its latents dataset does the
+            # inverse-coords read (h5_latents_dataset.py:190-196), which is
+            # the correct behavior this port follows.
+            lf_size = f[f"{group_path}/lowfreq"].shape[1]
             if self.clip_edges:
-                lf = np.asarray(f[f"{group_path}/lowfreq"][i - 1:i + h + 1, j - 1:j + w + 1],
-                                np.float32)[None]
+                pi, pj = _d4_inverse_coords(i - 1, j - 1, h + 2, w + 2,
+                                            lf_size, flip, rotate_k)
+                lf = np.asarray(
+                    f[f"{group_path}/lowfreq"][pi:pi + h + 2, pj:pj + w + 2],
+                    np.float32)[None]
             else:
-                lf = np.asarray(f[f"{group_path}/lowfreq"][i:i + h, j:j + w], np.float32)[None]
+                pi, pj = _d4_inverse_coords(i, j, h, w, lf_size, flip,
+                                            rotate_k)
+                lf = np.asarray(
+                    f[f"{group_path}/lowfreq"][pi:pi + h, pj:pj + w],
+                    np.float32)[None]
             lf = _apply_d4(lf, flip, rotate_k)
             lowfreq_padded = lf if self.clip_edges else None
             if self.clip_edges:
@@ -554,6 +586,7 @@ def batch_iterator(dataset, batch_size: int, start: int = 0,
     """Threaded host-side prefetching batch iterator (replaces the torch
     DataLoader worker pool for feeding the device)."""
     idx_lock = threading.Lock()
+    ds_lock = threading.Lock()
     counter = {"i": start}
     q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 1))
     stop = threading.Event()
@@ -564,7 +597,13 @@ def batch_iterator(dataset, batch_size: int, start: int = 0,
                 i0 = counter["i"]
                 counter["i"] += batch_size
             try:
-                batch = collate([dataset[i0 + k] for k in range(batch_size)])
+                # item fetch is serialized: the datasets' np.random.Generator
+                # and LongDataset's set_seed/getitem pair are not thread-safe
+                # (interleaved set_seed would draw sample A from seed B);
+                # collate and the queue hand-off still overlap with IO
+                with ds_lock:
+                    items = [dataset[i0 + k] for k in range(batch_size)]
+                batch = collate(items)
             except Exception as e:  # surface errors to the consumer
                 q.put(e)
                 return
