@@ -17,6 +17,8 @@ import numpy as np
 
 
 def _activation(name):
+    # unknown names fall back to silu — the reference resolver does the
+    # same (models/perceptron.py:7-17 ends in `return nn.SiLU()`)
     name = (name or "silu").lower()
     return {
         "relu": jax.nn.relu,
@@ -77,24 +79,36 @@ class Perceptron:
         act = _activation(self.config.activation)
         fact = (_activation(self.config.final_activation)
                 if self.config.final_activation else None)
+        drop = float(self.config.dropout)
+        use_dropout = training and drop > 0.0 and key is not None
+        if use_dropout:
+            key, dkey = jax.random.split(key)
 
-        def run(net, xx):
+        def run(net, xx, dk):
             for i in range(len(self.dims) - 1):
                 layer = net[f"l{i}"]
                 xx = xx @ layer["w"] + layer.get("b", 0.0)
                 if i < len(self.dims) - 2:
                     xx = act(xx)
+                    if use_dropout:  # after each hidden activation, like
+                        dk, sub = jax.random.split(dk)  # the reference's
+                        keep = jax.random.bernoulli(     # nn.Dropout
+                            sub, 1.0 - drop, xx.shape)
+                        xx = jnp.where(keep, xx / (1.0 - drop), 0.0)
             return fact(xx) if fact else xx
 
+        dkey = dkey if use_dropout else jax.random.key(0)
         ne = self.config.random_ensembles
         if ne == 1:
-            return run(params["net0"], x)
+            return run(params["net0"], x, dkey)
         if ensemble_idx is None:
             if key is None:
                 ensemble_idx = jnp.zeros((x.shape[0],), jnp.int32)
             else:
                 ensemble_idx = jax.random.randint(key, (x.shape[0],), 0, ne)
-        outs = jnp.stack([run(params[f"net{k}"], x) for k in range(ne)], axis=0)
+        outs = jnp.stack([
+            run(params[f"net{k}"], x, jax.random.fold_in(dkey, k))
+            for k in range(ne)], axis=0)
         return jnp.take_along_axis(
             outs, ensemble_idx[None, :, None], axis=0)[0]
 

@@ -27,11 +27,16 @@ def _to_jax_weight(name_is_linear: bool, arr: np.ndarray) -> np.ndarray:
 
 
 def _to_torch_weight(arr: np.ndarray, linear: bool) -> np.ndarray:
+    # ascontiguousarray is LOAD-BEARING: safetensors.numpy serializes the
+    # underlying buffer of a non-contiguous view as-is (strides ignored),
+    # silently scrambling every transposed weight on disk — and for some
+    # symmetric shapes the load-side inverse transpose happens to undo it,
+    # which is how the bug evaded shape-symmetric round-trip tests
     if arr.ndim == 4:  # HWIO -> OIHW
-        return np.transpose(arr, (3, 2, 0, 1))
+        return np.ascontiguousarray(np.transpose(arr, (3, 2, 0, 1)))
     if arr.ndim == 2 and linear:
-        return np.transpose(arr, (1, 0))
-    return arr
+        return np.ascontiguousarray(np.transpose(arr, (1, 0)))
+    return np.ascontiguousarray(arr)
 
 
 def _unet_name_map(model: EDMUnet2D):
@@ -134,9 +139,34 @@ def _autoencoder_name_map(model: EDMAutoencoder):
     return out
 
 
+def _perceptron_name_map(model):
+    """torch naming for the reference Perceptron (models/perceptron.py):
+    nn.Sequential indices advance past each hidden activation (and Dropout
+    when configured), so the Linear at layer i sits at a computed offset."""
+    cfg = model.config
+    out = []
+    n_layers = len(model.dims) - 1
+    for k in range(cfg.random_ensembles):
+        pos = 0
+        for i in range(n_layers):
+            base = f"nets.{k}.{pos}"
+            out.append((f"{base}.weight", (f"net{k}", f"l{i}", "w"), True))
+            if cfg.bias:
+                out.append((f"{base}.bias", (f"net{k}", f"l{i}", "b"), False))
+            pos += 1
+            if i < n_layers - 1:
+                pos += 1  # activation module
+                if cfg.dropout:
+                    pos += 1  # nn.Dropout
+    return out
+
+
 def _name_map(model):
     if isinstance(model, EDMAutoencoder):
         return _autoencoder_name_map(model)
+    from terrain_diffusion_tpu.nn.perceptron import Perceptron
+    if isinstance(model, Perceptron):
+        return _perceptron_name_map(model)
     return _unet_name_map(model)
 
 
@@ -192,6 +222,10 @@ def load_model(path: str):
     cls_name = cfg.get("_class_name", "EDMUnet2D")
     if cls_name == "EDMAutoencoder":
         model = EDMAutoencoder(EDMAutoencoderConfig.from_dict(cfg))
+    elif cls_name == "Perceptron":
+        from terrain_diffusion_tpu.nn.perceptron import (Perceptron,
+                                                         PerceptronConfig)
+        model = Perceptron(PerceptronConfig.from_dict(cfg))
     else:
         model = EDMUnet2D(EDMUnetConfig.from_dict(cfg))
     state = load_file(os.path.join(path, "model.safetensors"))

@@ -70,12 +70,15 @@ def configure(**config):
     _PIPELINE_CONFIG = config
 
 
-def _coarse_channel(world, ci0, ci1, cj0, cj1, channel) -> np.ndarray:
+def _coarse_window(world, ci0, ci1, cj0, cj1) -> np.ndarray:
+    """All 6 normalized coarse channels for a window in ONE read/assembly
+    (the per-channel helper re-read and re-normalized the full window for
+    every channel — up to 11x the work per stats/hover request)."""
     coarse = world.coarse[:, ci0:ci1, cj0:cj1]
-    data = (coarse[:-1] / (coarse[-1:] + 1e-8))[channel]
-    if channel <= 1:
-        data = np.sign(data) * np.square(data)
-    return np.asarray(data)
+    data = np.asarray(coarse[:-1] / (coarse[-1:] + 1e-8))
+    data[:2] = np.sign(data[:2]) * np.square(data[:2])
+    return data
+
 
 
 _VIRIDIS_STOPS = np.array([
@@ -116,7 +119,10 @@ def index(req):
 def status(req):
     world = _get_pipeline()
     return jsonify({"seed": str(world.seed), "channels": CHANNEL_NAMES,
-                    "native_resolution": world.native_resolution})
+                    "native_resolution": world.native_resolution,
+                    # world pixels per coarse cell (32 latent px/cell):
+                    # clients must use this instead of a hardcoded 256
+                    "cell_px": 32 * world.latent_compression})
 
 
 @app.post("/api/seed")
@@ -125,7 +131,13 @@ def set_seed(req):
     if "seed" not in data:
         return jsonify({"error": "seed required"}, 400)
     world = _get_pipeline()
-    world.change_seed(int(data["seed"]))
+    try:
+        # seeds are 64-bit and travel as STRINGS (a JS number loses
+        # precision above 2^53, silently building a different world)
+        seed = int(str(data["seed"]).strip())
+    except (TypeError, ValueError):
+        return jsonify({"error": "seed must be an integer"}, 400)
+    world.change_seed(seed)
     return jsonify({"seed": str(world.seed)})
 
 
@@ -147,7 +159,8 @@ def coarse_png(req):
         world = _get_pipeline()
         channel = req.args.get("channel", 0, int)
         ci0, ci1, cj0, cj1 = _bounds(req)
-        data = _coarse_channel(world, ci0, ci1, cj0, cj1, channel)
+        window = _coarse_window(world, ci0, ci1, cj0, cj1)
+        data = window[channel]
         display = np.log1p(np.maximum(data, 0)) if channel == 4 else data
         vmin, vmax = float(np.nanmin(display)), float(np.nanmax(display))
         if vmax == vmin:
@@ -164,7 +177,7 @@ def coarse_png(req):
                 lo = req.args.get(f"ch{ch}_min", type=float)
                 hi = req.args.get(f"ch{ch}_max", type=float)
                 if lo is not None or hi is not None:
-                    ch_data = _coarse_channel(world, ci0, ci1, cj0, cj1, ch)
+                    ch_data = window[ch]
                     if lo is not None:
                         mask &= ch_data >= lo
                     if hi is not None:
@@ -187,8 +200,9 @@ def coarse_data(req):
     try:
         world = _get_pipeline()
         ci0, ci1, cj0, cj1 = _bounds(req)
+        window = _coarse_window(world, ci0, ci1, cj0, cj1)
         channels = {
-            name: np.round(_coarse_channel(world, ci0, ci1, cj0, cj1, i), 2).tolist()
+            name: np.round(window[i], 2).tolist()
             for i, name in enumerate(CHANNEL_NAMES)
         }
         return jsonify({"ci0": ci0, "ci1": ci1, "cj0": cj0, "cj1": cj1,
@@ -203,8 +217,9 @@ def coarse_stats(req):
         world = _get_pipeline()
         ci0, ci1, cj0, cj1 = _bounds(req)
         stats = {}
+        window = _coarse_window(world, ci0, ci1, cj0, cj1)
         for ch in range(len(CHANNEL_NAMES)):
-            data = _coarse_channel(world, ci0, ci1, cj0, cj1, ch)
+            data = window[ch]
             stats[ch] = {"name": CHANNEL_NAMES[ch],
                          "min": round(float(np.nanmin(data)), 3),
                          "max": round(float(np.nanmax(data)), 3)}
@@ -219,8 +234,9 @@ def _detail_region(req, world):
     detail_size = req.args.get("detail_size", 1024, int)
     pan_i = req.args.get("pan_i", 0, int)
     pan_j = req.args.get("pan_j", 0, int)
-    center_i = ci * 256 + pan_i
-    center_j = cj * 256 + pan_j
+    cell_px = 32 * world.latent_compression
+    center_i = ci * cell_px + pan_i
+    center_j = cj * cell_px + pan_j
     half = detail_size // 2
     return world.get(center_i - half, center_j - half,
                      center_i + half, center_j + half)

@@ -116,9 +116,13 @@ class Browser:
         state = {"i": 0, "fig": None}
 
         def show(i):
-            if state["fig"] is not None:
-                plt.close(state["fig"])
+            # build the NEW figure before closing the old one: some GUI
+            # backends (TkAgg) end the blocking mainloop when the last
+            # window closes, which would quit the browser mid-page
+            old = state["fig"]
             fig = self.page_fn(i).render(plt)
+            if old is not None:
+                plt.close(old)
             fig.subplots_adjust(bottom=0.12)
             ax_prev = fig.add_axes([0.35, 0.02, 0.12, 0.05])
             ax_next = fig.add_axes([0.53, 0.02, 0.12, 0.05])

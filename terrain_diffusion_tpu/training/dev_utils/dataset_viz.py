@@ -44,10 +44,6 @@ def _dataset_page(ds, idx: int, show_terrain: bool) -> Page:
     if show_terrain and name in ("H5DecoderTerrainDataset",
                                  "H5AutoencoderDataset"):
         res = img[..., 0]
-        if s.get("cond_img") is not None and name == "H5DecoderTerrainDataset":
-            # cond_img beyond the 4 latent channels carries lowfreq context
-            # only in the pipeline; here show signed-square of the residual
-            pass
         page.image("signed_square(residual) [rel m]",
                    np.sign(res) * np.square(res), cmap="terrain")
     return page

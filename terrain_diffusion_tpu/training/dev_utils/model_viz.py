@@ -106,7 +106,9 @@ def base_diffusion(config_path, model_path, decoder_path, section, n, steps,
                 dec_model, dec_params, lat[None, ..., :4], key=key,
                 tile_size=min(512, gt.shape[0] * 8))
             res = np.asarray(res)[0, ..., 0]
-            terrain = decode_terrain(res, lat[..., 4] / sigma_data)
+            # sampler outputs are ALREADY denoised/sigma_data (normalized
+            # units) — lat[..., 4] is the normalized lowfreq as-is
+            terrain = decode_terrain(res, lat[..., 4])
             p.image("decoded terrain [m]", terrain, cmap="terrain")
         return p
 
@@ -136,7 +138,10 @@ def consistency_decoder(config_path, model_path, section, n, out, seed,
 
     def page(i):
         s = ds[i]
-        gt = np.asarray(s["image"])[..., 0]  # residual
+        sigma_data = getattr(ds, "sigma_data", 0.5)
+        # dataset image = residual_norm * sigma_data; the sampler returns
+        # residual_norm — compare both in normalized units
+        gt = np.asarray(s["image"])[..., 0] / sigma_data
         cond = np.asarray(s["cond_img"])  # upsampled latents (H, W, 4)
         lc = max(gt.shape[0] // max(cond.shape[0], 1), 1)
         # cond is already nearest-upsampled; downsample back to latent grid

@@ -265,3 +265,57 @@ def test_autoencoder_conv_resample_roundtrip(tmp_path, rng):
     w0 = np.asarray(params["decoder"][up_blocks[0]]["resample"]["w"])
     w1 = np.asarray(loaded["decoder"][up_blocks[0]]["resample"]["w"])
     np.testing.assert_allclose(w0, w1, rtol=1e-6)
+
+
+def test_save_load_roundtrip_every_leaf_exact(tmp_path):
+    """EVERY param leaf must survive save_model/load_model bit-exactly.
+
+    Guards the safetensors non-contiguity trap: serializing a transposed
+    VIEW writes the underlying buffer with strides ignored, scrambling the
+    weight on disk — and for shape-symmetric weights the load-side inverse
+    transpose coincidentally undoes it, so only a full-tree comparison
+    with asymmetric shapes catches it."""
+    from terrain_diffusion_tpu.nn import torch_compat as tc
+    from terrain_diffusion_tpu.nn import EDMUnet2D, EDMUnetConfig
+
+    m = EDMUnet2D(EDMUnetConfig(
+        image_size=16, in_channels=2, out_channels=3, model_channels=8,
+        model_channel_mults=(1, 2), layers_per_block=1,
+        attn_resolutions=(), midblock_attention=False,
+        conditional_inputs=(("tensor", 5, 1.0),)))
+    p = m.init(jax.random.key(3))
+    tc.save_model(m, p, str(tmp_path / "m"))
+    _, p2 = tc.load_model(str(tmp_path / "m"))
+    import jax.tree_util as jtu
+
+    leaves = jtu.tree_flatten_with_path(p)[0]
+    leaves2 = jax.tree.leaves(p2)
+    assert len(leaves) == len(leaves2)
+    for (path, a), b in zip(leaves, leaves2):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=jtu.keystr(path))
+
+
+def test_perceptron_checkpoint_roundtrip(tmp_path):
+    """Perceptron saves/loads through the shared checkpoint path with the
+    reference's nets.{k}.{seq_idx} naming (Dropout shifts the indices)."""
+    from terrain_diffusion_tpu.nn import torch_compat as tc
+    from terrain_diffusion_tpu.nn.perceptron import (Perceptron,
+                                                     PerceptronConfig)
+
+    for i, (dropout, bias, ne) in enumerate(
+            ((0.0, True, 1), (0.3, True, 2), (0.0, False, 1))):
+        m = Perceptron(PerceptronConfig(
+            in_dim=8, out_dim=3, hidden_dims=(16, 16), dropout=dropout,
+            bias=bias, random_ensembles=ne))
+        p = m.init(jax.random.key(0))
+        d = str(tmp_path / f"p{i}")
+        tc.save_model(m, p, d)
+        m2, p2 = tc.load_model(d)
+        assert type(m2).__name__ == "Perceptron"
+        for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # dropout path is exercised (training + key)
+        out = m.apply(p, np.ones((4, 8), np.float32),
+                      key=jax.random.key(1), training=True)
+        assert np.isfinite(np.asarray(out)).all()
