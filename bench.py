@@ -351,6 +351,43 @@ def _run_sub(argv_payload, timeout_s: float):
                 pass
 
 
+_PROBE_SCRIPT = r"""
+import json, os, sys
+import jax
+# The remote-TPU plugin's registration hook overrides jax_platforms in
+# sitecustomize; re-assert the env selection so JAX_PLATFORMS=cpu (tests)
+# actually selects CPU.  In production the env says the TPU platform, so
+# this is a no-op there.
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+ds = jax.devices()
+print(json.dumps({"platform": ds[0].platform, "n": len(ds)}), flush=True)
+"""
+
+
+def probe_devices(timeout_s: float):
+    """Fast-fail device-init probe.
+
+    On this harness the TPU is reached through a remote-device tunnel that
+    can wedge in a way where `jax.devices()` hangs forever (observed round
+    3: the relay accepts connections but the chip lease never resolves).
+    Probing in a disposable subprocess with a hard timeout turns a 900 s
+    silent budget burn into a ~2-minute diagnostic.  Returns the parsed
+    probe dict, or None if device init hung/crashed.
+    """
+    try:
+        r = subprocess.run([sys.executable, "-c", _PROBE_SCRIPT],
+                           timeout=timeout_s, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        return None
+    for line in reversed((r.stdout or "").strip().splitlines()):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    return None
+
+
 def run_stage(stage: str, timeout_s: float):
     return _run_sub([_STAGE_SCRIPT, stage], timeout_s)
 
@@ -435,6 +472,27 @@ def main():
     os.makedirs(_CACHE, exist_ok=True)
     budget = float(os.environ.get("TD_BENCH_TOTAL_BUDGET", "900"))
     b = Bench(budget)
+
+    # 0. fast-fail: if device init hangs (wedged tunnel, round-3 failure
+    # mode) emit a diagnostic line and exit 0 instead of burning the whole
+    # budget in silent subprocess timeouts.
+    probe_timeout = float(os.environ.get("TD_BENCH_PROBE_TIMEOUT", "150"))
+    probe = probe_devices(min(probe_timeout, b.remaining() - 30.0))
+    if probe is None:
+        print(json.dumps({
+            "metric": "denoise-steps/sec/chip (30m stack)",
+            "value": 0.0,
+            "unit": "steps/s",
+            "vs_baseline": 0.0,
+            "detail": {
+                "device_init": "hung",
+                "probe_timeout_s": probe_timeout,
+                "note": "jax.devices() did not return; remote TPU tunnel "
+                        "unreachable — no stage was attempted",
+            },
+        }), flush=True)
+        return
+    b.notes.append(f"devices: {probe.get('n')}x {probe.get('platform')}")
 
     # 1-3. the three known-safe XLA stages in ONE subprocess: device init +
     # compile-cache loads through the tunnel cost 100-200s per subprocess

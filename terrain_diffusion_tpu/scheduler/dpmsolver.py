@@ -10,7 +10,7 @@ fused program per (num_steps, shape).
 
 Implements: Karras + exponential sigma schedules with the reference's
 `scaling_p`/`scaling_t` warp, EDM pre-conditioning, TrigFlow noise labels,
-orders 1-2 multistep DPM-Solver++ and the SDE variant, lower-order-final
+orders 1-3 multistep DPM-Solver++ and the SDE variant, lower-order-final
 logic, `add_noise`, and the AutoGuidance `scale_score_in_velocity` util.
 
 All exp(-h) terms are expressed as sigma ratios so the final sigma=0 step is

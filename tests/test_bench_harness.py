@@ -23,12 +23,40 @@ def _run_main(monkeypatch, stage_results, e2e_result=None):
 
     monkeypatch.setattr(bench, "run_stage", fake_run_stage)
     monkeypatch.setattr(bench, "run_e2e", lambda t: e2e_result)
+    monkeypatch.setattr(bench, "probe_devices",
+                        lambda t: {"platform": "tpu", "n": 1})
     out = io.StringIO()
     monkeypatch.setattr(sys, "stdout", out)
     bench.main()
     lines = [json.loads(l) for l in out.getvalue().splitlines() if l.strip()]
     assert lines, "main() must print at least one JSON line"
     return lines
+
+
+def test_hung_device_init_fast_fails(monkeypatch):
+    """A wedged tunnel must produce ONE diagnostic line, not a silent 900 s
+    burn (round-3 failure mode: BENCH_r03 spent the whole budget on nothing)."""
+    monkeypatch.setattr(bench, "probe_devices", lambda t: None)
+
+    def no_stage(*a, **k):  # pragma: no cover - must not be reached
+        raise AssertionError("stages must not run when device init hangs")
+
+    monkeypatch.setattr(bench, "run_stage", no_stage)
+    monkeypatch.setattr(bench, "run_e2e", no_stage)
+    out = io.StringIO()
+    monkeypatch.setattr(sys, "stdout", out)
+    bench.main()
+    lines = [json.loads(l) for l in out.getvalue().splitlines() if l.strip()]
+    assert len(lines) == 1
+    assert lines[0]["value"] == 0.0
+    assert lines[0]["detail"]["device_init"] == "hung"
+
+
+def test_probe_subprocess_roundtrip(monkeypatch):
+    """The real probe subprocess parses on a healthy (CPU) backend."""
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    got = bench.probe_devices(120.0)
+    assert got and got["platform"] == "cpu" and got["n"] >= 1
 
 
 COARSE = {"stage": "coarse", "batch": 4, "steps": 20,
