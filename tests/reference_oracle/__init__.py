@@ -11,9 +11,15 @@ into ``sys.modules`` before importing the real reference sources:
 - ``torchvision.transforms.functional`` -> resize/gaussian_blur implemented
   on torch.nn.functional with torchvision's exact algorithm (the reference
   only uses BILINEAR resize and gaussian_blur)
+- ``infinite_tensor``    -> faithful minimal runtime stand-in
+  (``infinite_tensor_standin.py``) so the reference WorldPipeline can
+  actually *execute* for end-to-end composition parity tests
+- ``pyfastnoiselite``    -> FastNoiseLite facade over our
+  `ops/perlin.py` (same published FastNoiseLite algorithm), so the
+  reference synthetic-map factory produces the same conditioning fields
+  our pipeline computes
 - import-only dummies for packages whose symbols are referenced but never
-  called in the code paths under test (rasterio, pyfastnoiselite,
-  infinite_tensor, ema_pytorch, skimage)
+  called in the code paths under test (rasterio, ema_pytorch, skimage)
 
 Everything the tests exercise runs the *reference's own* code on torch.
 """
@@ -275,6 +281,51 @@ def _dummy_module(name, attrs=()):
     return mod
 
 
+def _make_pyfastnoiselite_stub():
+    """FastNoiseLite facade over our first-party Perlin (same published
+    algorithm: hash-gradient Perlin, quintic smoothing, FBm w/ fractal
+    bounding — `terrain_diffusion_tpu/ops/perlin.py`).  Only the surface the
+    reference synthetic-map factory touches (`synthetic_map.py:195-229`)."""
+    import enum
+
+    import numpy as np
+
+    from terrain_diffusion_tpu.ops.perlin import perlin_fbm
+
+    class NoiseType(enum.Enum):
+        NoiseType_Perlin = "perlin"
+
+    class FractalType(enum.Enum):
+        FractalType_FBm = "fbm"
+
+    class FastNoiseLite:
+        def __init__(self, seed=1337):
+            self.seed = int(seed)
+            self.noise_type = NoiseType.NoiseType_Perlin
+            self.frequency = 0.01
+            self.fractal_type = FractalType.FractalType_FBm
+            self.fractal_octaves = 3
+            self.fractal_lacunarity = 2.0
+            self.fractal_gain = 0.5
+
+        def gen_from_coords(self, coords):
+            xs = np.asarray(coords[0], dtype=np.float32).ravel()
+            ys = np.asarray(coords[1], dtype=np.float32).ravel()
+            return perlin_fbm(self.seed, float(self.frequency),
+                              int(self.fractal_octaves),
+                              float(self.fractal_lacunarity),
+                              float(self.fractal_gain), xs, ys)
+
+    pkg = types.ModuleType("pyfastnoiselite")
+    sub = types.ModuleType("pyfastnoiselite.pyfastnoiselite")
+    for mod in (pkg, sub):
+        mod.FastNoiseLite = FastNoiseLite
+        mod.NoiseType = NoiseType
+        mod.FractalType = FractalType
+    pkg.pyfastnoiselite = sub
+    return {"pyfastnoiselite": pkg, "pyfastnoiselite.pyfastnoiselite": sub}
+
+
 def install_stubs():
     """Idempotently install the reference's missing third-party deps."""
     if "numba" not in sys.modules or not hasattr(sys.modules.get("numba"), "njit"):
@@ -293,24 +344,23 @@ def install_stubs():
     for name, attrs in [
         ("rasterio", ()),
         ("skimage", ()),
-        ("infinite_tensor", ("HDF5TileStore", "InfiniteTensor", "TensorWindow",
-                             "MemoryTileStore")),
         ("ema_pytorch", ("PostHocEMA",)),
     ]:
         try:
             importlib.import_module(name)
         except ImportError:
             sys.modules[name] = _dummy_module(name, attrs)
+    if "infinite_tensor" not in sys.modules:
+        try:
+            importlib.import_module("infinite_tensor")
+        except ImportError:
+            from . import infinite_tensor_standin
+            sys.modules["infinite_tensor"] = infinite_tensor_standin
     if "pyfastnoiselite" not in sys.modules:
         try:
             importlib.import_module("pyfastnoiselite")
         except ImportError:
-            pkg = _dummy_module("pyfastnoiselite")
-            sub = _dummy_module("pyfastnoiselite.pyfastnoiselite",
-                                ("FastNoiseLite", "NoiseType", "FractalType"))
-            pkg.pyfastnoiselite = sub
-            sys.modules["pyfastnoiselite"] = pkg
-            sys.modules["pyfastnoiselite.pyfastnoiselite"] = sub
+            sys.modules.update(_make_pyfastnoiselite_stub())
 
 
 def import_reference(dotted: str):

@@ -425,3 +425,131 @@ class TestAutoencoderForwardParity:
                         r_dec.numpy()) < 1e-3
         np.testing.assert_allclose(np.asarray(m_lv).reshape(-1),
                                    r_lv.detach().numpy().reshape(-1), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end WorldPipeline.get() parity (the reference's own pipeline code
+# running on the faithful infinite_tensor stand-in, vs pipeline/world.py)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+class TestEndToEndPipelineParity:
+    """Runs the reference `WorldPipeline` (world_pipeline.py:1276-1384) and
+    ours on the SAME tiny weights, same seed, same synthetic-map stats, and
+    asserts <1e-3 relative RMSE on composed elevation AND climate.
+
+    This closes the composition-level correctness gap on top of the
+    building-block parity above: stage chaining, window offsets, weight
+    blending, seed plumbing, laplacian composition and climate regression
+    all execute end-to-end in both implementations.
+    """
+
+    PIPE_KW = dict(latents_batch_size=[1, 2, 4],
+                   decoder_tile_size=64, decoder_tile_stride=48)
+    SEED = 1234
+
+    def _write_stats_json(self, tmp_path):
+        """Shared stats cache in the reference JSON format
+        (`synthetic_map.py:134-180`), read from CWD by BOTH factories."""
+        import json as _json
+
+        from terrain_diffusion_tpu.data.default_stats import default_stats
+        from terrain_diffusion_tpu.pipeline import synthetic_map as sm
+
+        freq_mult = [1.5, 3, 3, 3, 3]  # pipeline ctor default
+        stats = default_stats(0.5)
+        noise_tables, data_tables = [], []
+        for i, (fb, octv, lac, gain) in enumerate(sm._MAP_CONFIGS):
+            nq = sm._noise_quantiles(fb * freq_mult[i], octv, lac, gain)
+            noise_tables.append(np.asarray(nq, np.float64).tolist())
+            data_tables.append(np.asarray(
+                stats[f"base_image_quantiles_{i}"], np.float64).tolist())
+        payload = {
+            "n_quantiles": len(noise_tables[0]),
+            "noise_quantile_tables": noise_tables,
+            "data_quantile_tables": data_tables,
+            "a_temp_std": float(stats["a_temp_std"]),
+            "b_temp_std": float(stats["b_temp_std"]),
+            "temp_std_p1": float(stats["temp_std_p1"]),
+            "temp_std_p99": float(stats["temp_std_p99"]),
+        }
+        d = tmp_path / "data" / "global"
+        d.mkdir(parents=True, exist_ok=True)
+        (d / "synthetic_map_stats.json").write_text(_json.dumps(payload))
+
+    def _paired_models(self):
+        """(ref torch model, (our model, converted params)) per stage."""
+        ref_mod = import_reference("models.edm_unet")
+        from terrain_diffusion_tpu.nn import EDMUnet2D, EDMUnetConfig
+        from terrain_diffusion_tpu.nn.torch_compat import params_from_torch_state
+
+        cases = {
+            "coarse": dict(image_size=16, in_channels=11, out_channels=6,
+                           model_channels=8, model_channel_mults=[1],
+                           layers_per_block=1, attn_resolutions=[],
+                           midblock_attention=False, concat_balance=0.5,
+                           conditional_inputs=[("float", 8, 0.2)] * 5,
+                           fourier_scale="pos", noise_emb_dims=8,
+                           logvar_channels=8),
+            "base": dict(image_size=64, in_channels=5, out_channels=5,
+                         model_channels=8, model_channel_mults=[1, 2],
+                         layers_per_block=1, attn_resolutions=[],
+                         midblock_attention=False, concat_balance=0.5,
+                         conditional_inputs=[("tensor", 58, 1.0)],
+                         fourier_scale="pos", noise_emb_dims=8,
+                         logvar_channels=8),
+            "decoder": dict(image_size=64, in_channels=5, out_channels=1,
+                            model_channels=8, model_channel_mults=[1, 2],
+                            layers_per_block=1, attn_resolutions=[],
+                            midblock_attention=False, concat_balance=0.5,
+                            conditional_inputs=[], fourier_scale="pos",
+                            noise_emb_dims=8, logvar_channels=8),
+        }
+        out = {}
+        for si, (name, kw) in enumerate(cases.items()):
+            torch.manual_seed(si)
+            ref = ref_mod.EDMUnet2D(**kw)
+            ref.eval()
+            _randomize_parameters(ref, seed=11 + si)
+            jcfg = dict(kw)
+            jcfg["model_channel_mults"] = tuple(kw["model_channel_mults"])
+            jcfg["attn_resolutions"] = tuple(kw["attn_resolutions"])
+            jcfg["conditional_inputs"] = tuple(
+                tuple(c) for c in kw["conditional_inputs"])
+            model = EDMUnet2D(EDMUnetConfig(**jcfg))
+            params = params_from_torch_state(model, _torch_state_to_numpy(ref))
+            out[name] = (ref, (model, params))
+        return out
+
+    def test_get_parity_vs_reference_pipeline(self, tmp_path, monkeypatch):
+        wp = import_reference("inference.world_pipeline")
+        from terrain_diffusion_tpu.pipeline.world import WorldPipeline
+
+        self._write_stats_json(tmp_path)
+        monkeypatch.chdir(tmp_path)
+        pairs = self._paired_models()
+
+        ref_pipe = wp.WorldPipeline(seed=self.SEED, **self.PIPE_KW)
+        ref_pipe.coarse_model = pairs["coarse"][0]
+        ref_pipe.base_model = pairs["base"][0]
+        ref_pipe.decoder_model = pairs["decoder"][0]
+        ref_pipe._apply_dtype_and_compile()
+        ref_pipe.bind()
+        with torch.no_grad():
+            ref_out = ref_pipe.get(0, 0, 24, 24)
+
+        pipe = WorldPipeline(seed=self.SEED, noise_mode="portable",
+                             **self.PIPE_KW).set_models(
+            pairs["coarse"][1], pairs["base"][1], pairs["decoder"][1])
+        pipe.bind()
+        out = pipe.get(0, 0, 24, 24)
+
+        r_elev = ref_out["elev"].numpy()
+        r_clim = ref_out["climate"].numpy()
+        # non-vacuous: real terrain variation, not an all-zeros degenerate
+        assert float(np.std(r_elev)) > 1.0 and np.isfinite(r_elev).all()
+        assert float(np.std(r_clim)) > 0.1 and np.isfinite(r_clim).all()
+        assert rel_rmse(np.asarray(out["elev"]), r_elev) < 1e-3, \
+            rel_rmse(np.asarray(out["elev"]), r_elev)
+        assert rel_rmse(np.asarray(out["climate"]), r_clim) < 1e-3, \
+            rel_rmse(np.asarray(out["climate"]), r_clim)
