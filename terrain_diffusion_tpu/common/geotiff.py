@@ -51,6 +51,30 @@ _GEOKEYS_EPSG4326 = (1, 1, 0, 3,
                      2048, 0, 1, 4326)   # GeographicType = WGS84
 
 
+def _geokeys_projected(epsg: int):
+    return (1, 1, 0, 3,
+            1024, 0, 1, 1,          # GTModelType = projected
+            1025, 0, 1, 1,          # RasterPixelIsArea
+            3072, 0, 1, int(epsg))  # ProjectedCSType
+
+
+def _crs_from_geokeys(keys):
+    """'EPSG:<code>' from a GeoKeyDirectory tuple, or None."""
+    if not keys or len(keys) < 4:
+        return None
+    keys = tuple(int(k) for k in keys)
+    entries = {}
+    for i in range(4, len(keys) - 3, 4):
+        key_id, location, count, value = keys[i:i + 4]
+        if location == 0 and count == 1:
+            entries[key_id] = value
+    if 3072 in entries and entries[3072] not in (0, 32767):
+        return f"EPSG:{entries[3072]}"
+    if 2048 in entries and entries[2048] not in (0, 32767):
+        return f"EPSG:{entries[2048]}"
+    return None
+
+
 def write_geotiff(path, arr: np.ndarray, transform: Affine | None = None,
                   crs: str = "EPSG:4326", nodata=None, compress: str | None = "lzw"):
     from PIL import Image, TiffImagePlugin
@@ -83,6 +107,9 @@ def write_geotiff(path, arr: np.ndarray, transform: Affine | None = None,
                                      float(transform.c), float(transform.f), 0.0)
     if crs in ("EPSG:4326", 4326):
         info[_TAG_GEO_KEY_DIRECTORY] = _GEOKEYS_EPSG4326
+    elif crs is not None:
+        code = int(str(crs).upper().replace("EPSG:", ""))
+        info[_TAG_GEO_KEY_DIRECTORY] = _geokeys_projected(code)
     if nodata is not None:
         info[_TAG_GDAL_NODATA] = str(nodata)
 
@@ -90,6 +117,21 @@ def write_geotiff(path, arr: np.ndarray, transform: Affine | None = None,
     if compress == "lzw":
         kwargs["compression"] = "tiff_lzw"
     img.save(str(path), format="TIFF", tiffinfo=info, **kwargs)
+
+
+def read_geotiff_info(path):
+    """Returns (array, transform | None, nodata | None, crs | None).
+
+    ``crs`` is an 'EPSG:<code>' string parsed from the GeoKeyDirectory
+    (ProjectedCSType key 3072 or GeographicType key 2048), or None when the
+    file carries no CRS keys.
+    """
+    from PIL import Image
+
+    arr, transform, nodata = read_geotiff(path)
+    with Image.open(str(path)) as img:
+        crs = _crs_from_geokeys(img.tag_v2.get(_TAG_GEO_KEY_DIRECTORY))
+    return arr, transform, nodata, crs
 
 
 def read_geotiff(path):

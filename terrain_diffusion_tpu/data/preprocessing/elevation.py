@@ -158,3 +158,129 @@ def _resize_nan(arr: np.ndarray, size) -> np.ndarray:
     v = _resize(filled, size)
     out = np.where(w > 0.5, v / np.maximum(w, 1e-6), np.nan)
     return out.astype(np.float32)
+
+
+def _window_indices(transform, xs_min, ys_min, xs_max, ys_max, shape,
+                    pad: int = 1):
+    """Pixel window [row0:row1, col0:col1] covering a projected bbox."""
+    cols = [(xs_min - transform.c) / transform.a,
+            (xs_max - transform.c) / transform.a]
+    rows = [(ys_min - transform.f) / transform.e,
+            (ys_max - transform.f) / transform.e]
+    col0 = max(int(np.floor(min(cols))) - pad, 0)
+    col1 = min(int(np.ceil(max(cols))) + pad, shape[1])
+    row0 = max(int(np.floor(min(rows))) - pad, 0)
+    row1 = min(int(np.ceil(max(rows))) + pad, shape[0])
+    return row0, row1, col0, col1
+
+
+def _sample_to_wgs84_grid(arr, transform, crs, bounds, out_shape,
+                          nodata=None):
+    """Inverse-warp bilinear resample of a (possibly projected) raster onto
+    a regular EPSG:4326 grid over ``bounds`` — the warp core of the
+    reference's rasterio.warp.reproject call
+    (`elevation_dataset.py:88-101`)."""
+    lon_min, lat_min, lon_max, lat_max = bounds
+    h, w = out_shape
+    lons = lon_min + (np.arange(w) + 0.5) * (lon_max - lon_min) / w
+    lats = lat_max - (np.arange(h) + 0.5) * (lat_max - lat_min) / h
+    lon_g, lat_g = np.meshgrid(lons, lats)
+    x, y = crs.from_wgs84(lon_g, lat_g)
+    col = (x - transform.c) / transform.a - 0.5
+    row = (y - transform.f) / transform.e - 0.5
+    src = np.asarray(arr, np.float32)
+    if nodata is not None:
+        src = np.where(src == np.float32(nodata), np.nan, src)
+    out = ndi.map_coordinates(src, [row, col], order=1, mode="constant",
+                              cval=np.nan)
+    return out.astype(np.float32)
+
+
+def extract_mask_from_tiffs(tiff_path, bounds):
+    """Extract raster data over WGS84 ``bounds`` with automatic CRS handling.
+
+    First-party port of the reference's rasterio/GDAL path
+    (`data/preprocessing/elevation_dataset.py:34-161`,
+    ``extract_mask_from_tiffs``): window-read the region intersecting
+    ``bounds`` and, when the source CRS is projected, inverse-warp
+    bilinear-resample it onto a regular EPSG:4326 grid.
+
+    Supported CRSes: EPSG:4326, EPSG:3857, WGS84 UTM (326xx/327xx) and the
+    polar stereographic pair 3031/3413 (`common/crs.py`); anything else
+    raises ``UnsupportedCRSError``.  Files with no CRS keys are assumed
+    EPSG:4326 (the reference asserts the same in ``read_raster``).
+
+    Args:
+        tiff_path: a GeoTIFF file, or a directory of GeoTIFFs (mosaic: all
+            intersecting files must share one CRS; earlier files win where
+            coverage overlaps, matching rasterio.merge's 'first' policy).
+        bounds: (lon_min, lat_min, lon_max, lat_max) in WGS84 degrees.
+
+    Returns:
+        float32 array on the EPSG:4326 grid; nodata and uncovered cells are
+        NaN.  Resolution follows the source window's pixel count (the
+        analogue of rasterio's calculate_default_transform sizing).
+    """
+    from pathlib import Path
+
+    from terrain_diffusion_tpu.common.crs import CRS
+    from terrain_diffusion_tpu.common.geotiff import read_geotiff_info
+
+    path = Path(tiff_path)
+    lon_min, lat_min, lon_max, lat_max = (float(b) for b in bounds)
+
+    def load(p):
+        arr, transform, nodata, crs_str = read_geotiff_info(p)
+        if transform is None:
+            raise ValueError(f"{p} has no geotransform")
+        return arr, transform, nodata, CRS(crs_str or "EPSG:4326")
+
+    def window_and_shape(arr, transform, crs):
+        if crs.is_geographic:
+            bx0, by0, bx1, by1 = lon_min, lat_min, lon_max, lat_max
+        else:
+            bx0, by0, bx1, by1 = crs.transform_bounds(
+                lon_min, lat_min, lon_max, lat_max)
+        r0, r1, c0, c1 = _window_indices(transform, bx0, by0, bx1, by1,
+                                         arr.shape)
+        return r0, r1, c0, c1
+
+    if path.is_file():
+        arr, transform, nodata, crs = load(path)
+        r0, r1, c0, c1 = window_and_shape(arr, transform, crs)
+        if r1 <= r0 or c1 <= c0:
+            raise ValueError(f"{path} does not intersect bounds {bounds}")
+        if crs.is_geographic:
+            out = arr[r0:r1, c0:c1].astype(np.float32)
+            if nodata is not None:
+                out[out == np.float32(nodata)] = np.nan
+            if out.dtype == np.float32:
+                out[np.abs(out) > 1e10] = np.nan
+            return out
+        return _sample_to_wgs84_grid(arr, transform, crs, bounds,
+                                     (r1 - r0, c1 - c0), nodata)
+
+    if path.is_dir():
+        files = sorted(path.glob("*.tif")) + sorted(path.glob("*.tiff"))
+        picked = []
+        for p in files:
+            arr, transform, nodata, crs = load(p)
+            r0, r1, c0, c1 = window_and_shape(arr, transform, crs)
+            if r1 > r0 and c1 > c0:
+                picked.append((arr, transform, nodata, crs, (r1 - r0, c1 - c0)))
+        if not picked:
+            raise ValueError(
+                f"No TIFF files intersect bounds {bounds} in {tiff_path}")
+        crs0 = picked[0][3]
+        if any(c.epsg != crs0.epsg for _, _, _, c, _ in picked):
+            raise ValueError("mosaic inputs must share one CRS")
+        out_shape = max((ws for *_, ws in picked),
+                        key=lambda s: s[0] * s[1])
+        out = None
+        for arr, transform, nodata, crs, _ in picked:
+            part = _sample_to_wgs84_grid(arr, transform, crs, bounds,
+                                         out_shape, nodata)
+            out = part if out is None else np.where(np.isnan(out), part, out)
+        return out
+
+    raise ValueError(f"not a TIFF file or directory: {tiff_path}")
