@@ -133,3 +133,49 @@ def test_compute_map_stats_from_rasters(tmp_path):
     f = make_synthetic_map_factory(seed=42, stats=loaded)
     m = f(0, 0, 32, 32)
     assert m.shape == (5, 32, 32) and np.isfinite(m).all()
+
+
+def test_stats_divergence_script(tmp_path):
+    """util_scripts/stats_divergence.py: zero distance vs itself, clearly
+    nonzero vs a shifted/scaled stats table."""
+    import json
+    import sys
+
+    sys.path.insert(0, "util_scripts")
+    import stats_divergence as sd
+
+    from terrain_diffusion_tpu.data.default_stats import default_stats
+    from terrain_diffusion_tpu.pipeline.synthetic_map import _MAP_CONFIGS, _noise_quantiles
+
+    fm = [1.5, 3, 3, 3, 3]
+    stats = default_stats(0.5)
+    noise_tables = []
+    for i, (fb, octv, lac, gain) in enumerate(_MAP_CONFIGS):
+        noise_tables.append(np.asarray(
+            _noise_quantiles(fb * fm[i], octv, lac, gain), np.float64).tolist())
+    payload = {
+        "n_quantiles": 64,
+        "noise_quantile_tables": noise_tables,
+        "data_quantile_tables": [
+            np.asarray(stats[f"base_image_quantiles_{i}"], np.float64).tolist()
+            for i in range(5)],
+        "a_temp_std": stats["a_temp_std"], "b_temp_std": stats["b_temp_std"],
+        "temp_std_p1": stats["temp_std_p1"], "temp_std_p99": stats["temp_std_p99"],
+    }
+    p_same = tmp_path / "same.json"
+    p_same.write_text(json.dumps(payload))
+    rows = sd.compare(sd.load_reference_json(str(p_same)), 0.5, fm)
+    for r in rows:
+        assert r["quantile_rmse"] < 1e-9
+        assert r["field_w1_over_std"] < 1e-9
+
+    shifted = dict(payload)
+    shifted["data_quantile_tables"] = [
+        (np.asarray(t) * 1.3 + 5.0).tolist()
+        for t in payload["data_quantile_tables"]]
+    p_shift = tmp_path / "shift.json"
+    p_shift.write_text(json.dumps(shifted))
+    rows = sd.compare(sd.load_reference_json(str(p_shift)), 0.5, fm)
+    for r in rows:
+        assert r["quantile_rmse_over_std"] > 0.01
+        assert r["field_w1_over_std"] > 0.01
