@@ -1,7 +1,7 @@
 """Terrain Diffusion TPU CLI — command-compatible with the reference
 (`terrain_diffusion/__main__.py:15-39`): train, save-model, build-*-dataset,
 define-splits, explore, generate, api, mc-api, export (StableHLO),
-azgaar-to-tiff, tiff-export.
+onnx-export, azgaar-to-tiff, tiff-export.
 
 Commands import lazily so `--help` stays fast and optional deps only load
 when their command runs.
@@ -45,6 +45,7 @@ cli = LazyGroup(
         "api": "terrain_diffusion_tpu.serving.api:main",
         "mc-api": "terrain_diffusion_tpu.serving.minecraft_api:main",
         "export": "terrain_diffusion_tpu.export.stablehlo_export:main",
+        "onnx-export": "terrain_diffusion_tpu.export.onnx_export:main",
         "azgaar-to-tiff": "terrain_diffusion_tpu.serving.azgaar_to_tiff:main",
         "tiff-export": "terrain_diffusion_tpu.serving.tiff_export:main",
         # benchmarks

@@ -1,0 +1,163 @@
+"""First-party ONNX export: wire format round-trip + numerical parity.
+
+Covers the game-mod export path (reference `onnx/export.py:24-250`):
+graphs are serialized with `export/onnx_proto.py`, re-parsed, executed on
+the numpy reference runtime, and compared against the JAX forward in f32.
+"""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from terrain_diffusion_tpu.export import onnx_proto as P
+from terrain_diffusion_tpu.export.onnx_export import (
+    build_unet_graph, export_unet, verify_export)
+from terrain_diffusion_tpu.export.onnx_ref_runtime import run_model
+from terrain_diffusion_tpu.nn.edm_unet import EDMUnet2D, EDMUnetConfig
+
+
+@pytest.fixture(scope="module")
+def attn_model():
+    """Tiny U-Net with attention + all three conditional input types."""
+    cfg = EDMUnetConfig(
+        image_size=16, in_channels=3, out_channels=2, model_channels=16,
+        model_channel_mults=(1, 2), layers_per_block=1,
+        attn_resolutions=(8,), midblock_attention=True,
+        logvar_channels=16,
+        block_kwargs={"channels_per_head": 16},
+        conditional_inputs=(("float", 8, 0.2), ("tensor", 6, 0.3),
+                            ("embedding", 5, 0.1)),
+    )
+    model = EDMUnet2D(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    # fresh init has out_gain == 0 → output identically zero → any
+    # comparison would be vacuous; give it a trained-looking gain
+    params["out_gain"] = jnp.asarray(0.7)
+    return model, params
+
+
+@pytest.fixture(scope="module")
+def mobile_model():
+    """Mobile-conv + leaky_relu + positional noise embedding variant."""
+    cfg = EDMUnetConfig(
+        image_size=16, in_channels=2, model_channels=16,
+        model_channel_mults=(1, 2), layers_per_block=1,
+        midblock_attention=False, logvar_channels=16,
+        fourier_scale="pos",
+        block_kwargs={"conv_type": "mobile", "expansion_factor": 2,
+                      "activation": "leaky_relu"},
+    )
+    model = EDMUnet2D(cfg)
+    params = model.init(jax.random.PRNGKey(1))
+    params["out_gain"] = jnp.asarray(-0.5)
+    return model, params
+
+
+def test_proto_roundtrip(attn_model, tmp_path):
+    """encode -> decode -> encode is byte-identical (writer/reader agree)."""
+    model, params = attn_model
+    g = build_unet_graph(model, params)
+    blob = g.model().encode()
+    reparsed = P.ModelProto.decode(blob)
+    assert reparsed.encode() == blob
+    assert reparsed.opset_import[0].version == 17
+    assert reparsed.ir_version == 8
+    names = [vi.name for vi in reparsed.graph.input]
+    assert names == ["x", "noise_labels", "cond_0", "cond_1", "cond_2"]
+    # dynamic batch dim is a dim_param, spatial dims are static
+    x_dims = reparsed.graph.input[0].type.tensor_type.shape.dim
+    assert x_dims[0].dim_param == "batch"
+    assert [d.dim_value for d in x_dims[1:]] == [3, 16, 16]
+
+
+def test_tensor_raw_data_roundtrip():
+    arr = np.arange(24, dtype=np.float32).reshape(2, 3, 4) - 11.5
+    t = P.tensor_from_numpy(arr, "t")
+    back = P.tensor_to_numpy(P.TensorProto.decode(t.encode()))
+    np.testing.assert_array_equal(back, arr)
+    idx = np.array([3, -9, 2**40], dtype=np.int64)
+    back_i = P.tensor_to_numpy(P.TensorProto.decode(
+        P.tensor_from_numpy(idx, "i").encode()))
+    np.testing.assert_array_equal(back_i, idx)
+
+
+def test_export_matches_jax_attention(attn_model, tmp_path):
+    model, params = attn_model
+    path = os.path.join(tmp_path, "attn.onnx")
+    entry = export_unet(model, params, path, verify=True, verify_tol=1e-3)
+    assert entry["verified"]
+    assert entry["max_abs_diff"] < 1e-3
+    assert entry["output_std"] > 0.0  # non-vacuous comparison
+
+
+def test_export_matches_jax_mobile(mobile_model, tmp_path):
+    model, params = mobile_model
+    path = os.path.join(tmp_path, "mobile.onnx")
+    entry = export_unet(model, params, path, verify=True, verify_tol=1e-3)
+    assert entry["max_abs_diff"] < 1e-3
+
+
+def test_dynamic_batch(attn_model, tmp_path):
+    """The same exported file serves batch 1 and batch 3."""
+    model, params = attn_model
+    path = os.path.join(tmp_path, "attn.onnx")
+    export_unet(model, params, path, verify=False)
+    proto = P.load_model(path)
+    rng = np.random.default_rng(3)
+    for batch in (1, 3):
+        feed = {
+            "x": rng.standard_normal((batch, 3, 16, 16)).astype(np.float32),
+            "noise_labels": rng.standard_normal((batch,)).astype(np.float32),
+            "cond_0": rng.standard_normal((batch,)).astype(np.float32),
+            "cond_1": rng.standard_normal((batch, 6)).astype(np.float32),
+            "cond_2": rng.integers(0, 5, (batch,)).astype(np.int64),
+        }
+        out = run_model(proto, feed)["output"]
+        assert out.shape == (batch, 2, 16, 16)
+        assert np.all(np.isfinite(out))
+
+
+def test_batch_consistency(attn_model, tmp_path):
+    """Row i of a batched run equals a singleton run of row i."""
+    model, params = attn_model
+    path = os.path.join(tmp_path, "attn.onnx")
+    export_unet(model, params, path, verify=False)
+    proto = P.load_model(path)
+    rng = np.random.default_rng(7)
+    feed = {
+        "x": rng.standard_normal((2, 3, 16, 16)).astype(np.float32),
+        "noise_labels": rng.standard_normal((2,)).astype(np.float32),
+        "cond_0": rng.standard_normal((2,)).astype(np.float32),
+        "cond_1": rng.standard_normal((2, 6)).astype(np.float32),
+        "cond_2": rng.integers(0, 5, (2,)).astype(np.int64),
+    }
+    full = run_model(proto, feed)["output"]
+    solo = run_model(proto, {k: v[1:2] for k, v in feed.items()})["output"]
+    np.testing.assert_allclose(full[1:2], solo, rtol=1e-5, atol=1e-5)
+
+
+def test_size_override(attn_model, tmp_path):
+    """image_size override (coarse/base export at 64px) changes I/O shapes."""
+    model, params = attn_model
+    path = os.path.join(tmp_path, "attn32.onnx")
+    export_unet(model, params, path, image_size=32, verify=False)
+    diff, out_std = verify_export(path, model, params, image_size=32)
+    assert diff < 1e-3
+    assert out_std > 0.0
+    x_dims = P.load_model(path).graph.input[0].type.tensor_type.shape.dim
+    assert [d.dim_value for d in x_dims[1:]] == [3, 32, 32]
+
+
+def test_unsupported_resample_type_raises(tmp_path):
+    cfg = EDMUnetConfig(
+        image_size=8, in_channels=2, model_channels=8,
+        model_channel_mults=(1, 1), layers_per_block=1,
+        midblock_attention=False, logvar_channels=8,
+        block_kwargs={"resample_type": "conv", "resample_filter": 2},
+    )
+    model = EDMUnet2D(cfg)
+    params = model.init(jax.random.PRNGKey(2))
+    with pytest.raises(NotImplementedError, match="resample_type"):
+        build_unet_graph(model, params)
