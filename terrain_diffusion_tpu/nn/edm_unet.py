@@ -269,7 +269,7 @@ class EDMUnet2D:
                 return pb.fused_conv3x3_apply(
                     x.astype(dt), w, interpret=interp,
                     halo_mode=self.config.block_kwargs.get(
-                        "halo_mode", "specs"))
+                        "halo_mode", "carry"))
         return L.mp_conv_apply(p, x, compute_dtype=dt)
 
     # ------------------------------------------------------------------
@@ -288,7 +288,7 @@ class EDMUnet2D:
                 return pb.fused_conv3x3_apply(
                     x.astype(dt), w, interpret=interp,
                     halo_mode=self.config.block_kwargs.get(
-                        "halo_mode", "specs"))
+                        "halo_mode", "carry"))
         return L.mp_conv_apply(params["out_conv"], x, gain=gain,
                                compute_dtype=dt)
 

@@ -262,7 +262,7 @@ def _attention(p, x, num_heads: int, compute_dtype, attention_impl: str = "xla")
 def _fused_block(p, x, emb, *, mode, conv_type, dropout, res_balance,
                  clip_act, expansion_factor, no_padding, activation,
                  training, compute_dtype, interpret, x2=None,
-                 concat_scales=None, pre_upsample=1, halo_mode="specs"):
+                 concat_scales=None, pre_upsample=1, halo_mode="carry"):
     """Route the block's conv body through the fused Pallas kernel
     (ops/pallas_block.py) when shapes/options allow; None = fall back."""
     if "conv_res0" not in p:  # mobile conv layout
@@ -328,7 +328,7 @@ def unet_block_apply(
     compute_dtype=None,
     attention_impl: str = "xla",
     block_impl: str = "xla",
-    halo_mode: str = "specs",
+    halo_mode: str = "carry",
     skip_input=None,
     concat_w: float = 0.3,
     **_unused,

@@ -24,6 +24,14 @@ dim is 3*Cin instead of Cin (64-wide K runs the 128x128 MXU at 1/4
 utilization; 192-wide K fixes that).  Rows are tiled over a grid with a
 2-row halo per conv; halo rows outside the image are zeroed via a
 broadcast row mask to reproduce SAME zero-padding exactly.
+
+Halo fetch strategy (`halo_mode`): 'specs' fetches three overlapping input
+windows per grid step (prev/this/next row tile) through BlockSpecs; 'carry'
+(the default) fetches each input row tile exactly once and carries the
+2-row halo in a VMEM scratch, with the output for row tile j written at
+grid step j+1.  Measured on a v5e chip (decoder b2 512px full forward,
+interleaved A/B, 8 reps): carry 36.33 ms vs specs 36.65 ms (-0.9%); both
+variants are bit-compared in interpreter-mode tests.
 """
 from __future__ import annotations
 
@@ -378,7 +386,7 @@ def block_eligible(x, *, conv_type="default", resample_mode="keep",
 def fused_block_apply(x, w0, w1, c, wskip=None, x2=None, *, mode="enc",
                       pixel_norm=True, res_balance=0.3, clip_act=256.0,
                       tile_rows=None, concat_scales=None, pre_upsample=1,
-                      interpret=False, halo_mode="specs"):
+                      interpret=False, halo_mode="carry"):
     """Fused residual-block forward.
 
     x      : (N, H, W, Cin) activations (bf16 or f32).
@@ -551,7 +559,7 @@ def conv3x3_eligible(x, tile_rows=None):
 @functools.partial(jax.jit, static_argnames=("tile_rows", "interpret",
                                               "halo_mode"))
 def fused_conv3x3_apply(x, w, *, tile_rows=None, interpret=False,
-                        halo_mode="specs"):
+                        halo_mode="carry"):
     """SAME-padded 3x3 conv as one Pallas program (large maps).
 
     w is the fully prepared HWIO weight (normalized, fan-in scaled, gain
