@@ -451,14 +451,39 @@ def build_unet_graph(model, params, *, image_size: Optional[int] = None,
     gain = float(np.asarray(params["out_gain"])) if "out_gain" in params else 1.0
     x = _conv(g, x, params["out_conv"], gain=gain)
     g.rename(x, "output")
-    g.add_output("output", ["batch", model.out_ch, size, size])
+    # declared dims come from the tracked shape — under no_padding the
+    # spatial size shrinks below `size`
+    g.add_output("output", ["batch", *g.shape("output")])
     return g
+
+
+# the emitted op forms (Split with implicit equal split, ReduceMean with
+# axes as an attribute, Squeeze/Unsqueeze/Pad/Slice/Clip with tensor
+# operands) are valid exactly for opsets 13..17
+_MIN_OPSET, _MAX_OPSET = 13, 17
+
+# graphs above this spatial size verify via a second small export: the
+# numpy interpreter at decoder resolution would hold hundreds of MB of
+# full-res f32 intermediates and loop for minutes
+_MAX_VERIFY_SIZE = 128
+_VERIFY_SIZE = 64
 
 
 def export_unet(model, params, out_path: str, *,
                 image_size: Optional[int] = None, opset: int = 17,
                 verify: bool = True, verify_tol: float = 5e-3) -> dict:
-    """Export one model; optionally verify vs the JAX forward (NHWC)."""
+    """Export one model; optionally verify vs the JAX forward (NHWC).
+
+    The file lands at out_path only after verification passes (writes go
+    to a temp sibling first), so a failed export never leaves a stale
+    artifact.  Large-resolution graphs (decoder at 512px) are verified via
+    an equivalent small-size export built from the same params through the
+    same code path (`verified_at` in the returned entry records the size).
+    """
+    if not _MIN_OPSET <= opset <= _MAX_OPSET:
+        raise ValueError(
+            f"opset {opset} unsupported: emitted op forms are valid for "
+            f"opsets {_MIN_OPSET}..{_MAX_OPSET}")
     g = build_unet_graph(model, params,
                          image_size=image_size,
                          graph_name=os.path.basename(out_path))
@@ -466,24 +491,44 @@ def export_unet(model, params, out_path: str, *,
         opset=opset,
         doc="terrain_diffusion_tpu EDMUnet2D "
             "(weights pre-normalized; inference only)")
-    P.save_model(proto, out_path)
+    tmp_path = out_path + ".tmp"
+    P.save_model(proto, tmp_path)
     entry = {
         "path": os.path.basename(out_path),
         "opset": opset,
         "inputs": [vi.name for vi in g.inputs],
-        "bytes": os.path.getsize(out_path),
+        "bytes": os.path.getsize(tmp_path),
     }
-    if verify:
-        diff, out_std = verify_export(out_path, model, params,
-                                      image_size=image_size)
-        entry["max_abs_diff"] = diff
-        # out_std == 0 means out_gain is zero (fresh-init weights) and the
-        # comparison is vacuous — surface it rather than claim parity
-        entry["output_std"] = out_std
-        if diff > verify_tol:
-            raise AssertionError(
-                f"ONNX export mismatch: max|diff|={diff:.3e} > {verify_tol}")
-        entry["verified"] = out_std > 0.0
+    try:
+        if verify:
+            size = image_size if image_size is not None else model.config.image_size
+            if size > _MAX_VERIFY_SIZE:
+                small_path = out_path + ".verify.tmp"
+                gs = build_unet_graph(model, params, image_size=_VERIFY_SIZE,
+                                      graph_name="verify")
+                P.save_model(gs.model(opset=opset), small_path)
+                try:
+                    diff, out_std = verify_export(small_path, model, params,
+                                                  image_size=_VERIFY_SIZE)
+                finally:
+                    os.remove(small_path)
+                entry["verified_at"] = _VERIFY_SIZE
+            else:
+                diff, out_std = verify_export(tmp_path, model, params,
+                                              image_size=image_size)
+                entry["verified_at"] = size
+            entry["max_abs_diff"] = diff
+            # out_std == 0 means out_gain is zero (fresh-init weights) and
+            # the comparison is vacuous — surface it rather than claim parity
+            entry["output_std"] = out_std
+            if diff > verify_tol:
+                raise AssertionError(
+                    f"ONNX export mismatch: max|diff|={diff:.3e} > {verify_tol}")
+            entry["verified"] = out_std > 0.0
+    except BaseException:
+        os.remove(tmp_path)
+        raise
+    os.replace(tmp_path, out_path)
     return entry
 
 
@@ -556,6 +601,14 @@ def main(model_path, output, opset, verify, models):
 
     os.makedirs(output, exist_ok=True)
     manifest = {}
+    manifest_path = os.path.join(output, "manifest.json")
+
+    def flush():
+        with open(manifest_path + ".tmp", "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.replace(manifest_path + ".tmp", manifest_path)
+
+    flush()
     for name in models:
         sub = os.path.join(model_path, name)
         if not os.path.isdir(sub):
@@ -569,11 +622,10 @@ def main(model_path, output, opset, verify, models):
         entry = export_unet(model, params, out_path, image_size=size,
                             opset=opset, verify=verify)
         manifest[name] = entry
+        flush()  # manifest always reflects exactly the verified artifacts
         click.echo(f"  exported {name} -> {out_path}"
                    + (f" (max|diff|={entry['max_abs_diff']:.2e})"
                       if verify else ""))
-    with open(os.path.join(output, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=2)
 
 
 if __name__ == "__main__":

@@ -113,6 +113,17 @@ def run_model(model: P.ModelProto, feeds: Dict[str, np.ndarray],
     for name, arr in feeds.items():
         env[name] = np.asarray(arr)
 
+    wanted = outputs or [vi.name for vi in graph.output]
+    # liveness: drop each intermediate after its last consumer, so big
+    # graphs don't retain every node output for the whole run
+    remaining_uses: Dict[str, int] = {}
+    for node in graph.node:
+        for name in node.input:
+            if name:
+                remaining_uses[name] = remaining_uses.get(name, 0) + 1
+    for name in wanted:
+        remaining_uses[name] = remaining_uses.get(name, 0) + 1
+
     for node in graph.node:
         op = node.op_type
         at = _attrs(node)
@@ -179,13 +190,20 @@ def run_model(model: P.ModelProto, feeds: Dict[str, np.ndarray],
             parts = np.split(ins[0], n_out, axis=axis)
             for name, part in zip(node.output, parts):
                 env[name] = part
-            continue
+            out = None
         elif op == "Identity":
             out = ins[0]
         else:
             raise NotImplementedError(f"op {op} not implemented in reference "
                                       "runtime")
-        env[node.output[0]] = out
+        if op != "Split":
+            env[node.output[0]] = out
 
-    wanted = outputs or [vi.name for vi in graph.output]
+        for name in node.input:
+            if not name:
+                continue
+            remaining_uses[name] -= 1
+            if remaining_uses[name] == 0:
+                env.pop(name, None)
+
     return {name: env[name] for name in wanted}

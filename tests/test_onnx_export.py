@@ -150,6 +150,64 @@ def test_size_override(attn_model, tmp_path):
     assert [d.dim_value for d in x_dims[1:]] == [3, 32, 32]
 
 
+def test_no_padding_output_shape_declared(tmp_path):
+    """VALID convs shrink spatial dims; the declared output must track it.
+
+    no_padding only composes with encode_only nets (the reference uses it
+    for GAN discriminators) — with a decoder path the skip concat would
+    shape-mismatch in the reference/JAX model too.
+    """
+    cfg = EDMUnetConfig(
+        image_size=16, in_channels=2, model_channels=8,
+        model_channel_mults=(1,), layers_per_block=2, encode_only=True,
+        midblock_attention=False, logvar_channels=8, fourier_scale="pos",
+        block_kwargs={"no_padding": True})
+    model = EDMUnet2D(cfg)
+    params = model.init(jax.random.PRNGKey(3))
+    params["out_gain"] = jnp.asarray(0.9)
+    path = os.path.join(tmp_path, "nopad.onnx")
+    entry = export_unet(model, params, path, verify=True, verify_tol=1e-3)
+    assert entry["max_abs_diff"] < 1e-3
+    out_dims = P.load_model(path).graph.output[0].type.tensor_type.shape.dim
+    got = [d.dim_value for d in out_dims[1:]]
+    # cross-check against the actual JAX output shape
+    want = model.apply(params, jnp.zeros((1, 16, 16, 2)), jnp.zeros((1,)), [])
+    assert got == [want.shape[3], want.shape[1], want.shape[2]]
+    assert got[1] < 16  # it actually shrank
+
+
+def test_opset_out_of_range_rejected(attn_model, tmp_path):
+    model, params = attn_model
+    path = os.path.join(tmp_path, "x.onnx")
+    for opset in (12, 18):
+        with pytest.raises(ValueError, match="opset"):
+            export_unet(model, params, path, opset=opset)
+    assert not os.path.exists(path)
+
+
+def test_failed_verify_leaves_no_artifact(attn_model, tmp_path):
+    """A verification failure must not leave a stale .onnx behind."""
+    model, params = attn_model
+    path = os.path.join(tmp_path, "bad.onnx")
+    with pytest.raises(AssertionError, match="mismatch"):
+        export_unet(model, params, path, verify=True, verify_tol=-1.0)
+    assert not os.path.exists(path)
+    assert not os.path.exists(path + ".tmp")
+
+
+def test_large_graph_verifies_via_small_export(attn_model, tmp_path):
+    """image_size > 128 verifies through an equivalent 64px export."""
+    model, params = attn_model
+    path = os.path.join(tmp_path, "big.onnx")
+    entry = export_unet(model, params, path, image_size=256, verify=True,
+                        verify_tol=1e-3)
+    assert entry["verified_at"] == 64
+    assert entry["verified"]
+    x_dims = P.load_model(path).graph.input[0].type.tensor_type.shape.dim
+    assert [d.dim_value for d in x_dims[1:]] == [3, 256, 256]
+    assert not os.path.exists(path + ".verify.tmp")
+
+
 def test_unsupported_resample_type_raises(tmp_path):
     cfg = EDMUnetConfig(
         image_size=8, in_channels=2, model_channels=8,
