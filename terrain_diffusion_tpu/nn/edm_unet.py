@@ -264,7 +264,9 @@ class EDMUnet2D:
             interp = impl == "pallas_interpret"
             from terrain_diffusion_tpu.ops import pallas_block as pb
             if (interp or jax.default_backend() == "tpu") and \
-                    pb.conv3x3_eligible(x):
+                    pb.conv3x3_eligible(
+                        x, halo_mode=self.config.block_kwargs.get(
+                            "halo_mode", "carry")):
                 w = mp.normalize(p["w"]) / np.sqrt(int(np.prod(p["w"].shape[:-1])))
                 return pb.fused_conv3x3_apply(
                     x.astype(dt), w, interpret=interp,
@@ -282,7 +284,9 @@ class EDMUnet2D:
             interp = impl == "pallas_interpret"
             from terrain_diffusion_tpu.ops import pallas_block as pb
             if (interp or jax.default_backend() == "tpu") and \
-                    pb.conv3x3_eligible(x):
+                    pb.conv3x3_eligible(
+                        x, halo_mode=self.config.block_kwargs.get(
+                            "halo_mode", "carry")):
                 w = params["out_conv"]["w"]
                 w = mp.normalize(w) * (gain / np.sqrt(int(np.prod(w.shape[:-1]))))
                 return pb.fused_conv3x3_apply(

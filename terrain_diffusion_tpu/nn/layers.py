@@ -278,7 +278,8 @@ def _fused_block(p, x, emb, *, mode, conv_type, dropout, res_balance,
                              # interpret mode is the CPU test path; the
                              # measured large-map-only cutover is for TPU
                              min_pixels=0 if interpret else 128 * 128,
-                             pre_upsample=pre_upsample):
+                             pre_upsample=pre_upsample,
+                             halo_mode=halo_mode):
         return None
     dt = compute_dtype
 

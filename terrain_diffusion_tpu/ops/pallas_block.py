@@ -327,19 +327,35 @@ def _block_kernel_carry(x_ref, w0_ref, w1_ref, c_ref, *rest,
             s2_ref[hh:] = x2_ref[0]
 
 
-def _pick_tile_rows(H, W, cin, cmid, tile_rows=None, itemsize=2):
+def _pick_tile_rows(H, W, cin, cmid, tile_rows=None, itemsize=2,
+                    halo_mode="carry"):
     if tile_rows is not None:
         return tile_rows
-    # Two constraints, measured on v5e:
-    # - VMEM: ~2 MB x-blocks keep triple-fetch double-buffered pipeline
-    #   windows + f32 accumulators + packed patches on chip (bigger tiles
-    #   OOM at 512x512x64); f32 activations halve the rows per block.
-    # - pipelining: ~8192 pixels per tile is the grid sweet spot
-    #   (512-wide maps: th=16 runs 19% faster than th=32; 256-wide maps
-    #   prefer th=32) — smaller steps overlap fetch/compute better.
-    budget = 2 * 1024 * 1024
-    th = max(8, min(budget // max(1, W * cin * itemsize),
-                    8192 // max(1, W)))
+    if halo_mode == "carry":
+        # Carry mode fetches ONE input window per step (vs 3 for specs),
+        # so larger tiles fit the pipeline VMEM and amortize per-step
+        # overhead better.  Three constraints, measured on v5e (decoder
+        # shapes, b2, carry, min-of-6):
+        # - VMEM: ~4 MB x-windows (512x512x64 tr=128 fails Mosaic compile;
+        #   f32 intermediates cap the rest).
+        # - pipelining: ~16384 pixels per tile is the new sweet spot
+        #   (512-wide: tr=32 1.478 vs tr=16 1.710 vs tr=64 1.646 ms/img;
+        #   256x128ch: tr=64 1.069 vs tr=32 1.250).
+        # - grid depth: keep >= 4 row tiles so fetch/compute still overlap
+        #   (128x192ch: tr=32 [4 tiles] 0.982 vs tr=64 [2 tiles] 1.053).
+        budget = 4 * 1024 * 1024
+        th = max(8, min(budget // max(1, W * cin * itemsize),
+                        16384 // max(1, W), max(8, H // 4)))
+    else:
+        # specs (triple-fetch) numbers, measured rounds 2-3:
+        # - VMEM: ~2 MB x-blocks keep triple-fetch double-buffered pipeline
+        #   windows + f32 accumulators + packed patches on chip (bigger
+        #   tiles OOM at 512x512x64); f32 activations halve the rows.
+        # - pipelining: ~8192 pixels per tile (512-wide maps: th=16 runs
+        #   19% faster than th=32; 256-wide maps prefer th=32).
+        budget = 2 * 1024 * 1024
+        th = max(8, min(budget // max(1, W * cin * itemsize),
+                        8192 // max(1, W)))
     th = 1 << int(math.floor(math.log2(th)))
     while H % th:
         th //= 2
@@ -349,7 +365,7 @@ def _pick_tile_rows(H, W, cin, cmid, tile_rows=None, itemsize=2):
 def block_eligible(x, *, conv_type="default", resample_mode="keep",
                    training=False, dropout=0.0, no_padding=False,
                    expansion_factor=1, activation="silu", tile_rows=None,
-                   min_pixels=128 * 128, pre_upsample=1):
+                   min_pixels=128 * 128, pre_upsample=1, halo_mode="carry"):
     """Whether the fused kernel covers this block's conv body exactly."""
     if conv_type != "default" or no_padding or expansion_factor != 1:
         return False
@@ -374,7 +390,7 @@ def block_eligible(x, *, conv_type="default", resample_mode="keep",
         # worst for narrow channels and skip-concat dec blocks); below
         # that XLA's convs are already compute-bound
         return False
-    th = _pick_tile_rows(H, W, C, C, tile_rows, x.dtype.itemsize)
+    th = _pick_tile_rows(H, W, C, C, tile_rows, x.dtype.itemsize, halo_mode)
     return H % th == 0
 
 
@@ -415,7 +431,7 @@ def fused_block_apply(x, w0, w1, c, wskip=None, x2=None, *, mode="enc",
     Cmid = w0.shape[-1]
     Cout = w1.shape[-1]
     dt = x.dtype
-    th = _pick_tile_rows(H, W, Cin, Cmid, tile_rows, dt.itemsize)
+    th = _pick_tile_rows(H, W, Cin, Cmid, tile_rows, dt.itemsize, halo_mode)
     assert H % th == 0, (H, th)
     if c is None:
         c = jnp.ones((N, Cmid), jnp.float32)
@@ -545,7 +561,7 @@ def _conv_kernel_carry(x_ref, w_ref, o_ref, s_ref, *, H):
         s_ref[1:] = x_ref[0]
 
 
-def conv3x3_eligible(x, tile_rows=None):
+def conv3x3_eligible(x, tile_rows=None, halo_mode="carry"):
     if x.ndim != 4:
         return False
     N, H, W, C = x.shape
@@ -553,7 +569,7 @@ def conv3x3_eligible(x, tile_rows=None):
             or N >= _XLA_BATCH_CUTOVER):
         return False  # large batch: XLA convs win (see block_eligible)
     return H % _pick_tile_rows(H, W, max(C, 128), max(C, 128), tile_rows,
-                               x.dtype.itemsize) == 0
+                               x.dtype.itemsize, halo_mode) == 0
 
 
 @functools.partial(jax.jit, static_argnames=("tile_rows", "interpret",
@@ -573,7 +589,7 @@ def fused_conv3x3_apply(x, w, *, tile_rows=None, interpret=False,
     # width so narrow-channel inputs (e.g. the 6-channel network input)
     # don't blow the pipeline windows
     th = _pick_tile_rows(H, W, max(Cin, 128), max(Cin, 128), tile_rows,
-                         dt.itemsize)
+                         dt.itemsize, halo_mode)
     assert H % th == 0, (H, th)
     nb = H // th
     if halo_mode == "carry":
