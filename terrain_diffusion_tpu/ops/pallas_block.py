@@ -333,19 +333,18 @@ def _pick_tile_rows(H, W, cin, cmid, tile_rows=None, itemsize=2,
         return tile_rows
     if halo_mode == "carry":
         # Carry mode fetches ONE input window per step (vs 3 for specs),
-        # so larger tiles fit the pipeline VMEM and amortize per-step
-        # overhead better.  Three constraints, measured on v5e (decoder
-        # shapes, b2, carry, min-of-6):
-        # - VMEM: ~4 MB x-windows (512x512x64 tr=128 fails Mosaic compile;
-        #   f32 intermediates cap the rest).
-        # - pipelining: ~16384 pixels per tile is the new sweet spot
-        #   (512-wide: tr=32 1.478 vs tr=16 1.710 vs tr=64 1.646 ms/img;
-        #   256x128ch: tr=64 1.069 vs tr=32 1.250).
-        # - grid depth: keep >= 4 row tiles so fetch/compute still overlap
-        #   (128x192ch: tr=32 [4 tiles] 0.982 vs tr=64 [2 tiles] 1.053).
+        # so the VMEM window budget can double; the pipelining sweet spot
+        # does NOT move.  Tuned by interleaved A/B/C of the FULL decoder
+        # forward on v5e (b2 512px, bf16, 9 reps, data-dependency-forced
+        # sync — per-block micro-timings mislead on this remote harness):
+        #   2 MB/8192px 18.88 | 4 MB/8192px 18.65 | 4 MB/16384px+depth>=4
+        #   19.99 ms/img.  The 4 MB budget only coarsens wide-channel
+        #   shapes (512-wide cin>=192: th 8->16; 256-wide cin>=320:
+        #   th 8->16); coarsening the ~8192 px/tile pipelining cap is a
+        #   measured 7% end-to-end loss.
         budget = 4 * 1024 * 1024
         th = max(8, min(budget // max(1, W * cin * itemsize),
-                        16384 // max(1, W), max(8, H // 4)))
+                        8192 // max(1, W)))
     else:
         # specs (triple-fetch) numbers, measured rounds 2-3:
         # - VMEM: ~2 MB x-blocks keep triple-fetch double-buffered pipeline
