@@ -103,6 +103,14 @@ def _conv3x3(a, w_ref, rows_out, acc_dtype, pack_taps, pack_n=False):
     dy-shifted Cout-slices.  Narrow Cout (<= 64) runs the 128-wide MXU at
     <= 1/2 output utilization; 3Cout = 192 fills it (the decoder's
     64-channel top level is ~40% of its FLOPs).
+
+    Measured dead end (round 4, do not retry): packing dx into the output
+    dim too (one (R*W, Cin) @ (Cin, 9*Cout) matmul + nine row/col-shifted
+    slice adds, removing the _shifted_pair input copies) FAILS Mosaic
+    compile — the column-shift `concatenate` on a Cout-strided slice of
+    the matmul output needs a lane-offset relayout Mosaic rejects
+    ("result/input offset mismatch on non-concat dimension").  dx shifts
+    must stay on the matmul INPUT side, where operands start at lane 0.
     """
     R, W, Cin = a.shape
     Cout = w_ref.shape[-1]

@@ -204,3 +204,26 @@ def test_fused_up_block_matches_xla(rng):
                              block_impl="pallas_interpret")
     assert ref.shape == out.shape == (2, 32, 128, 32)
     assert 0 < _rel_err(ref, out) < 1e-5
+
+
+def test_tile_row_picker_geometry():
+    """Pin the hardware-tuned tile geometry (ops/pallas_block.py
+    `_pick_tile_rows`).  These constants were set by interleaved A/B/C of
+    the FULL decoder forward on a v5e chip (see the picker's comments);
+    per-block micro-timings on the remote harness are misleading, so a
+    change here must come with a new full-forward measurement."""
+    pick = pb._pick_tile_rows
+    # carry mode (default): ~8192 px/tile pipelining cap, 4 MB VMEM budget
+    assert pick(512, 512, 64, 64) == 16
+    assert pick(512, 512, 128, 128) == 16
+    assert pick(512, 512, 192, 64) == 16    # 4 MB budget: th 8 -> 16
+    assert pick(256, 256, 64, 64) == 32
+    assert pick(256, 256, 320, 320) == 16   # 4 MB budget: th 8 -> 16
+    assert pick(128, 128, 448, 448) == 32
+    # specs mode keeps the round-2/3 2 MB / 8192 px tuning
+    assert pick(512, 512, 64, 64, halo_mode="specs") == 16
+    assert pick(512, 512, 192, 64, halo_mode="specs") == 8
+    # explicit override always wins; result always divides H
+    assert pick(512, 512, 64, 64, tile_rows=64) == 64
+    assert pick(96, 512, 64, 64) in (8, 16, 32, 96)
+    assert 96 % pick(96, 512, 64, 64) == 0
