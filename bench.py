@@ -20,12 +20,18 @@ tiles on device (production widths, random weights), both raw and marginal
 the remote tunnel).  Reference hot path: world_pipeline.py:1209-1270.
 
 Robustness contract (learned from round 2, where one hung Mosaic remote
-compile ate the driver's whole wall clock and produced zero bytes):
+compile ate the driver's whole wall clock and produced zero bytes; and
+round 4, where the e2e stage ran last and was the only stage lost to the
+leftover budget):
   * TOTAL wall-clock budget, default 900 s (`TD_BENCH_TOTAL_BUDGET`),
     divided across stages; every subprocess timeout is clamped to the
     remaining budget.
-  * Cache-warm XLA variants run FIRST; the Pallas decoder variant is an
-    *upgrade attempt* made only with leftover budget, and only replaces
+  * The measured e2e serving stage runs FIRST with a protected budget
+    slice and flushes its contract metric (steady-state device tiles/sec)
+    before the wire-format numbers; an end-of-run completion pass retries
+    it with whatever budget is left (resuming from the shared cache).
+  * Then the cache-warm XLA stage variants; the Pallas decoder variant is
+    an *upgrade attempt* made only with leftover budget, and only replaces
     the XLA number if it is faster.
   * Compiled programs persist in `.cache/jax` (`TD_BENCH_CACHE` overrides,
     for cold-run testing), so re-runs skip the remote compile.
@@ -220,6 +226,9 @@ def flush():
     os.replace(out_path + ".tmp", out_path)
 
 
+result["phase"] = "init"
+flush()
+
 key = jax.random.key(7)
 k1, k2, k3 = jax.random.split(key, 3)
 coarse = EDMUnet2D(EDMUnetConfig(
@@ -270,10 +279,15 @@ def device_row(r):
     jnp.stack([elev.sum() for _, (elev, _) in pending]).block_until_ready()
 
 
-# warm the batch-size buckets used by the measured runs
-pipe.get_many(row(2_000, 8), pack_wire=True)
-pipe.get_many(row(-4_000, 16), pack_wire=True)
+# The device-side numbers come FIRST: `e2e_steady_device_tiles_per_sec`
+# is the contract metric (BASELINE.md tiles/sec target), and every flush
+# below survives a timeout, so the earlier it lands the more robust the
+# driver artifact is.  The warm row also compiles the stage batch-bucket
+# programs the wire runs reuse.
+result["phase"] = "device_warm"
+flush()
 device_row(row(20_000, 16))
+result["phase"] = "device_measure"
 flush()
 
 t0 = time.perf_counter()
@@ -290,6 +304,14 @@ device_row(adj_dev)
 t_dev_adj = time.perf_counter() - t0
 result["device_adjacent16_s"] = round(t_dev_adj, 3)
 result["e2e_steady_device_tiles_per_sec"] = round(16.0 / t_dev_adj, 3)
+result["phase"] = "wire_warm"
+flush()
+
+# wire-format path (host download over the tunnel): warm the remaining
+# batch buckets, then measure
+pipe.get_many(row(2_000, 8), pack_wire=True)
+pipe.get_many(row(-4_000, 16), pack_wire=True)
+result["phase"] = "wire_measure"
 flush()
 
 t0 = time.perf_counter()
@@ -316,8 +338,14 @@ pipe.get_many(adj, pack_wire=True)
 t_adj = time.perf_counter() - t0
 result["adjacent_row16_s"] = round(t_adj, 3)
 result["e2e_steady_wire_tiles_per_sec"] = round(16.0 / t_adj, 3)
+result["phase"] = "done"
 flush()
 """
+
+# The key the driver contract (BASELINE.md tiles/sec target) reads; an e2e
+# result without it is treated as incomplete and retried with leftover
+# budget.
+_E2E_CONTRACT_KEY = "e2e_steady_device_tiles_per_sec"
 
 
 def _run_sub(argv_payload, timeout_s: float):
@@ -449,7 +477,9 @@ class Bench:
                         - decoder["sec_per_call"] / decoder["batch"])
             detail["analytic_steady_tiles_per_sec"] = round(1.0 / t_steady, 3)
         if self.e2e:
-            detail.update(self.e2e)
+            detail.update({k: v for k, v in self.e2e.items() if k != "phase"})
+            if _E2E_CONTRACT_KEY not in self.e2e:
+                detail["e2e_partial_phase"] = self.e2e.get("phase", "unknown")
 
         target_tiles_per_chip = 20.0 / 8.0  # v5e-8 target (BASELINE.json)
         vs_baseline = (round(tiles_per_sec / target_tiles_per_chip, 3)
@@ -494,7 +524,21 @@ def main():
         return
     b.notes.append(f"devices: {probe.get('n')}x {probe.get('platform')}")
 
-    # 1-3. the three known-safe XLA stages in ONE subprocess: device init +
+    # 1. measured end-to-end serving FIRST (round-5 restructure): the
+    # steady-state `WorldPipeline.get_many` throughput is the contract
+    # metric (BASELINE.md's tiles/sec target), and in round 4 it was the
+    # only stage lost when it ran last against the leftover budget.  The
+    # e2e script flushes after every step with the device-side (contract)
+    # numbers first, so even a timeout here keeps them; its compiles also
+    # persist to the shared cache, making the end-of-run retry cheap.
+    # The cap reserves enough budget for the analytic stages (~220 s warm
+    # combo + ~270 s Pallas upgrade, round-4 measurements).
+    e2e_cap = min(max(b.remaining() - 500.0, 180.0), 450.0)
+    if b.remaining() > 300:
+        b.e2e = run_e2e(e2e_cap)
+        b.emit()
+
+    # 2-4. the three known-safe XLA stages in ONE subprocess: device init +
     # compile-cache loads through the tunnel cost 100-200s per subprocess
     # even fully warm, so one process for all three is the difference
     # between fitting the budget and not.  The combo flushes incrementally;
@@ -531,7 +575,7 @@ def main():
     if not b.base:
         b.notes.append("base stage failed/timed out")
 
-    # 4. decoder Pallas upgrade attempt — only with leftover budget, and it
+    # 5. decoder Pallas upgrade attempt — only with leftover budget, and it
     # must BEAT the XLA number to be adopted (round-2 lesson: a hung Mosaic
     # remote compile here must not cost the bench its output)
     if b.remaining() > 240:
@@ -542,14 +586,6 @@ def main():
         elif not pallas:
             b.notes.append("pallas decoder upgrade skipped (failed/timed out)")
         b.emit()
-
-    # 5. measured end-to-end: WorldPipeline.get_many on device
-    if b.remaining() > 120:
-        b.e2e = run_e2e(max(b.remaining() * 0.6, 120.0)
-                        if b.remaining() > 400 else b.remaining() - 20.0)
-        if not b.e2e:
-            b.notes.append("e2e get_many stage failed/timed out")
-    b.emit()
 
     # 6. second chance: retry any failed stage with the leftover budget
     # (a single slow remote compile must not zero a stage for the round)
@@ -562,10 +598,22 @@ def main():
                 setattr(b, attr, got)
                 b.notes.append(f"{stage} recovered on retry")
                 b.emit()
-    if b.e2e is None and b.remaining() > 120:
-        b.e2e = run_e2e(b.remaining() - 20.0)
-        if b.e2e:
-            b.notes.append("e2e recovered on retry")
+
+    # 7. e2e completion pass: if phase 1 was skipped, failed, or stopped
+    # before the contract metric, spend the leftover budget finishing it —
+    # the first attempt's compiles persist in the cache, so the retry
+    # resumes far faster than it started.
+    e2e_done = bool(b.e2e) and _E2E_CONTRACT_KEY in b.e2e
+    if not e2e_done and b.remaining() > 120:
+        again = run_e2e(b.remaining() - 20.0)
+        if again and (not b.e2e
+                      or len(again) >= len(b.e2e)
+                      or _E2E_CONTRACT_KEY in again):
+            b.e2e = again
+        e2e_done = bool(b.e2e) and _E2E_CONTRACT_KEY in b.e2e
+    if not e2e_done:
+        b.notes.append("e2e get_many stage incomplete "
+                       f"(phase={b.e2e.get('phase', 'none') if b.e2e else 'none'})")
 
     b.emit(final=True)
 

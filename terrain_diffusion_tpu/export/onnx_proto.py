@@ -330,13 +330,27 @@ class ModelProto(Message):
 # numpy <-> TensorProto
 # ---------------------------------------------------------------------------
 
+# Protobuf cannot serialize any single message >2^31-1 bytes (hard limit in
+# every protobuf parser, including onnxruntime's); ONNX handles bigger
+# weights via external data files.  Rather than silently emit a file no
+# consumer can parse, refuse with a clear error.
+_PROTO_SIZE_LIMIT = (1 << 31) - 1
+
+
 def tensor_from_numpy(arr: np.ndarray, name: str) -> TensorProto:
+    arr = np.asarray(arr)
+    if arr.nbytes > _PROTO_SIZE_LIMIT:
+        raise ValueError(
+            f"initializer {name!r} is {arr.nbytes} bytes; protobuf caps "
+            f"messages at {_PROTO_SIZE_LIMIT} bytes — split the tensor or "
+            "use ONNX external data")
+    shape = arr.shape  # before ascontiguousarray: it promotes 0-d to 1-d
     arr = np.ascontiguousarray(arr)
     if arr.dtype not in _NP_TO_ONNX:
         raise TypeError(f"unsupported dtype {arr.dtype}")
     return TensorProto(
         name=name,
-        dims=list(arr.shape),
+        dims=list(shape),
         data_type=_NP_TO_ONNX[arr.dtype],
         raw_data=arr.astype(arr.dtype.newbyteorder("<")).tobytes(),
     )
@@ -423,5 +437,10 @@ def load_model(path: str) -> ModelProto:
 
 
 def save_model(model: ModelProto, path: str) -> None:
+    data = model.encode()
+    if len(data) > _PROTO_SIZE_LIMIT:
+        raise ValueError(
+            f"serialized model is {len(data)} bytes; protobuf caps messages "
+            f"at {_PROTO_SIZE_LIMIT} bytes — use ONNX external data")
     with open(path, "wb") as f:
-        f.write(model.encode())
+        f.write(data)

@@ -262,16 +262,13 @@ class EDMUnet2D:
         impl = (self.config.block_kwargs or {}).get("block_impl", "xla")
         if impl in ("pallas", "pallas_interpret"):
             interp = impl == "pallas_interpret"
+            halo = self.config.block_kwargs.get("halo_mode", "carry")
             from terrain_diffusion_tpu.ops import pallas_block as pb
             if (interp or jax.default_backend() == "tpu") and \
-                    pb.conv3x3_eligible(
-                        x, halo_mode=self.config.block_kwargs.get(
-                            "halo_mode", "carry")):
+                    pb.conv3x3_eligible(x, halo_mode=halo):
                 w = mp.normalize(p["w"]) / np.sqrt(int(np.prod(p["w"].shape[:-1])))
                 return pb.fused_conv3x3_apply(
-                    x.astype(dt), w, interpret=interp,
-                    halo_mode=self.config.block_kwargs.get(
-                        "halo_mode", "carry"))
+                    x.astype(dt), w, interpret=interp, halo_mode=halo)
         return L.mp_conv_apply(p, x, compute_dtype=dt)
 
     # ------------------------------------------------------------------
@@ -282,17 +279,14 @@ class EDMUnet2D:
         impl = (self.config.block_kwargs or {}).get("block_impl", "xla")
         if impl in ("pallas", "pallas_interpret"):
             interp = impl == "pallas_interpret"
+            halo = self.config.block_kwargs.get("halo_mode", "carry")
             from terrain_diffusion_tpu.ops import pallas_block as pb
             if (interp or jax.default_backend() == "tpu") and \
-                    pb.conv3x3_eligible(
-                        x, halo_mode=self.config.block_kwargs.get(
-                            "halo_mode", "carry")):
+                    pb.conv3x3_eligible(x, halo_mode=halo):
                 w = params["out_conv"]["w"]
                 w = mp.normalize(w) * (gain / np.sqrt(int(np.prod(w.shape[:-1]))))
                 return pb.fused_conv3x3_apply(
-                    x.astype(dt), w, interpret=interp,
-                    halo_mode=self.config.block_kwargs.get(
-                        "halo_mode", "carry"))
+                    x.astype(dt), w, interpret=interp, halo_mode=halo)
         return L.mp_conv_apply(params["out_conv"], x, gain=gain,
                                compute_dtype=dt)
 

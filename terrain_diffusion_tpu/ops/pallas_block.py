@@ -339,30 +339,26 @@ def _pick_tile_rows(H, W, cin, cmid, tile_rows=None, itemsize=2,
                     halo_mode="carry"):
     if tile_rows is not None:
         return tile_rows
-    if halo_mode == "carry":
-        # Carry mode fetches ONE input window per step (vs 3 for specs),
-        # so the VMEM window budget can double; the pipelining sweet spot
-        # does NOT move.  Tuned by interleaved A/B/C of the FULL decoder
-        # forward on v5e (b2 512px, bf16, 9 reps, data-dependency-forced
-        # sync — per-block micro-timings mislead on this remote harness):
-        #   2 MB/8192px 18.88 | 4 MB/8192px 18.65 | 4 MB/16384px+depth>=4
-        #   19.99 ms/img.  The 4 MB budget only coarsens wide-channel
-        #   shapes (512-wide cin>=192: th 8->16; 256-wide cin>=320:
-        #   th 8->16); coarsening the ~8192 px/tile pipelining cap is a
-        #   measured 7% end-to-end loss.
-        budget = 4 * 1024 * 1024
-        th = max(8, min(budget // max(1, W * cin * itemsize),
-                        8192 // max(1, W)))
-    else:
-        # specs (triple-fetch) numbers, measured rounds 2-3:
-        # - VMEM: ~2 MB x-blocks keep triple-fetch double-buffered pipeline
-        #   windows + f32 accumulators + packed patches on chip (bigger
-        #   tiles OOM at 512x512x64); f32 activations halve the rows.
-        # - pipelining: ~8192 pixels per tile (512-wide maps: th=16 runs
-        #   19% faster than th=32; 256-wide maps prefer th=32).
-        budget = 2 * 1024 * 1024
-        th = max(8, min(budget // max(1, W * cin * itemsize),
-                        8192 // max(1, W)))
+    # Carry mode fetches ONE input window per step (vs 3 for specs), so
+    # the VMEM window budget can double; the pipelining sweet spot (~8192
+    # px/tile) does NOT move.
+    # Carry numbers: tuned by interleaved A/B/C of the FULL decoder
+    # forward on v5e (b2 512px, bf16, 9 reps, data-dependency-forced
+    # sync — per-block micro-timings mislead on this remote harness):
+    #   2 MB/8192px 18.88 | 4 MB/8192px 18.65 | 4 MB/16384px+depth>=4
+    #   19.99 ms/img.  The 4 MB budget only coarsens wide-channel shapes
+    #   (512-wide cin>=192: th 8->16; 256-wide cin>=320: th 8->16);
+    #   coarsening the ~8192 px/tile pipelining cap is a measured 7%
+    #   end-to-end loss.
+    # Specs (triple-fetch) numbers, measured rounds 2-3:
+    # - VMEM: ~2 MB x-blocks keep triple-fetch double-buffered pipeline
+    #   windows + f32 accumulators + packed patches on chip (bigger tiles
+    #   OOM at 512x512x64); f32 activations halve the rows.
+    # - pipelining: ~8192 pixels per tile (512-wide maps: th=16 runs 19%
+    #   faster than th=32; 256-wide maps prefer th=32).
+    budget = (4 if halo_mode == "carry" else 2) * 1024 * 1024
+    th = max(8, min(budget // max(1, W * cin * itemsize),
+                    8192 // max(1, W)))
     th = 1 << int(math.floor(math.log2(th)))
     while H % th:
         th //= 2

@@ -70,10 +70,19 @@ class DeviceTileAtlas:
         self._free: list | None = None
 
     def _ensure(self, row_shape):
+        import jax
         import jax.numpy as jnp
 
         if self._atlas is None:
-            self._atlas = jnp.zeros((self.capacity, *row_shape), jnp.float32)
+            # Commit the pool to ONE device.  Left uncommitted, the first
+            # write with a mesh-sharded stage batch makes XLA silently
+            # replicate the whole pool onto every mesh device (N x HBM for
+            # one cache); committed, mesh batches reshard to the pool's
+            # device on write (see put_batch) and per-device memory stays
+            # flat as the mesh grows.
+            self._atlas = jax.device_put(
+                jnp.zeros((self.capacity, *row_shape), jnp.float32),
+                jax.devices()[0])
             self._free = list(range(self.capacity - 1, -1, -1))
 
     def grow_to(self, n_tiles: int, row_shape: tuple | None = None) -> int:
@@ -148,6 +157,13 @@ class DeviceTileAtlas:
         n = len(idxs)
         padded[:n] = slots
         padded[n:] = slots[n - 1]
+        if getattr(batch, "sharding", None) is not None and \
+                batch.sharding != self._atlas.sharding:
+            # mesh-sharded stage output: gather it to the pool's device
+            # instead of letting jit replicate the pool across the mesh
+            import jax
+
+            batch = jax.device_put(batch, self._atlas.sharding)
         fn = _atlas_write_fn(self._atlas.shape, tuple(batch.shape))
         self._atlas = fn(self._atlas, padded, batch)
 

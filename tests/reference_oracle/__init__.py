@@ -326,6 +326,47 @@ def _make_pyfastnoiselite_stub():
     return {"pyfastnoiselite": pkg, "pyfastnoiselite.pyfastnoiselite": sub}
 
 
+def _make_flask_stub():
+    """Import-time surface of flask used by the reference's serving modules
+    (`api.py:8`): route decorators are pass-throughs, `Response`/`jsonify`
+    capture their payloads.  Only module-level import + decoration runs in
+    the parity tests (we call the pure helpers like `_get_terrain` directly,
+    never the HTTP layer)."""
+    flask = types.ModuleType("flask")
+
+    class Flask:
+        def __init__(self, name, **kwargs):
+            self.name = name
+
+        def _passthrough(self, *args, **kwargs):
+            def deco(fn):
+                return fn
+
+            return deco
+
+        get = post = route = errorhandler = _passthrough
+
+        def run(self, *args, **kwargs):  # pragma: no cover
+            raise RuntimeError("flask stub cannot serve")
+
+    class Response:
+        def __init__(self, response=None, status=200, headers=None,
+                     mimetype=None, **kwargs):
+            self.response = response
+            self.status = status
+            self.headers = dict(headers or {})
+            self.mimetype = mimetype
+
+    def jsonify(*args, **kwargs):
+        return args[0] if args else dict(kwargs)
+
+    flask.Flask = Flask
+    flask.Response = Response
+    flask.jsonify = jsonify
+    flask.request = types.SimpleNamespace(args={})
+    return {"flask": flask}
+
+
 def install_stubs():
     """Idempotently install the reference's missing third-party deps."""
     if "numba" not in sys.modules or not hasattr(sys.modules.get("numba"), "njit"):
@@ -361,6 +402,11 @@ def install_stubs():
             importlib.import_module("pyfastnoiselite")
         except ImportError:
             sys.modules.update(_make_pyfastnoiselite_stub())
+    if "flask" not in sys.modules:
+        try:
+            importlib.import_module("flask")
+        except ImportError:
+            sys.modules.update(_make_flask_stub())
 
 
 def import_reference(dotted: str):

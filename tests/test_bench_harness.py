@@ -133,3 +133,81 @@ def test_every_line_is_valid_json_with_metric(monkeypatch):
     })
     for l in lines:
         assert set(l) >= {"metric", "value", "unit", "vs_baseline", "detail"}
+
+
+def test_e2e_runs_before_stages(monkeypatch):
+    """Round-5 contract: the measured e2e serving stage gets first claim on
+    the budget (round 4 lost it by running it last)."""
+    calls = []
+
+    def fake_run_stage(stage, timeout_s):
+        calls.append(("stage", stage))
+        return {"combo:coarse,decoder64xla,base192": {
+            "coarse": COARSE, "decoder64xla": DEC_XLA, "base192": BASE},
+            "decoder64": DEC_PAL}.get(stage)
+
+    def fake_run_e2e(timeout_s):
+        calls.append(("e2e", timeout_s))
+        return {"e2e_steady_device_tiles_per_sec": 21.9, "phase": "done"}
+
+    monkeypatch.setattr(bench, "run_stage", fake_run_stage)
+    monkeypatch.setattr(bench, "run_e2e", fake_run_e2e)
+    monkeypatch.setattr(bench, "probe_devices",
+                        lambda t: {"platform": "tpu", "n": 1})
+    out = io.StringIO()
+    monkeypatch.setattr(sys, "stdout", out)
+    bench.main()
+    assert calls[0][0] == "e2e", "e2e must be attempted before any stage"
+    # a completed e2e must NOT be re-run by the completion pass
+    assert sum(1 for kind, _ in calls if kind == "e2e") == 1
+    final = json.loads(out.getvalue().splitlines()[-1])
+    assert final["detail"]["e2e_steady_device_tiles_per_sec"] == 21.9
+    assert "notes" in final["detail"]
+    assert not any("incomplete" in n for n in final["detail"]["notes"])
+
+
+def test_incomplete_e2e_gets_completion_pass(monkeypatch):
+    """An e2e attempt that stopped before the contract metric is retried with
+    the leftover budget, and a successful retry leaves no failure note."""
+    e2e_results = iter([
+        {"warmup_s": 12.0, "phase": "device_warm"},          # first: partial
+        {"warmup_s": 3.0, "phase": "done",                   # retry: complete
+         "e2e_steady_device_tiles_per_sec": 22.1},
+    ])
+
+    monkeypatch.setattr(bench, "run_e2e", lambda t: next(e2e_results))
+    monkeypatch.setattr(bench, "run_stage", lambda s, t: {
+        "combo:coarse,decoder64xla,base192": {
+            "coarse": COARSE, "decoder64xla": DEC_XLA, "base192": BASE},
+        "decoder64": DEC_PAL}.get(s))
+    monkeypatch.setattr(bench, "probe_devices",
+                        lambda t: {"platform": "tpu", "n": 1})
+    out = io.StringIO()
+    monkeypatch.setattr(sys, "stdout", out)
+    bench.main()
+    final = json.loads(out.getvalue().splitlines()[-1])
+    assert final["detail"]["e2e_steady_device_tiles_per_sec"] == 22.1
+    assert not any("incomplete" in n for n in final["detail"]["notes"])
+
+
+def test_never_complete_e2e_is_noted_with_phase(monkeypatch):
+    """If even the completion pass cannot finish, the final line says so and
+    reports how far the e2e script got (its last flushed phase)."""
+    partial = {"warmup_s": 12.0, "e2e_device_tiles_per_sec": 20.5,
+               "phase": "wire_warm"}
+    monkeypatch.setattr(bench, "run_e2e", lambda t: dict(partial))
+    monkeypatch.setattr(bench, "run_stage", lambda s, t: {
+        "combo:coarse,decoder64xla,base192": {
+            "coarse": COARSE, "decoder64xla": DEC_XLA, "base192": BASE},
+        "decoder64": DEC_PAL}.get(s))
+    monkeypatch.setattr(bench, "probe_devices",
+                        lambda t: {"platform": "tpu", "n": 1})
+    out = io.StringIO()
+    monkeypatch.setattr(sys, "stdout", out)
+    bench.main()
+    final = json.loads(out.getvalue().splitlines()[-1])
+    d = final["detail"]
+    # partial device number still surfaces, with the stall point named
+    assert d["e2e_device_tiles_per_sec"] == 20.5
+    assert d["e2e_partial_phase"] == "wire_warm"
+    assert any("incomplete" in n and "wire_warm" in n for n in d["notes"])

@@ -62,6 +62,18 @@ def test_pools(rng):
     np.testing.assert_allclose(
         np.asarray(im.max_pool(jnp.asarray(x), 2)),
         F.max_pool2d(torch.from_numpy(x)[None], 2)[0].numpy(), rtol=1e-6)
+    # min pool = reference's -max_pool(-x) (world_pipeline.py:1003-1005)
+    np.testing.assert_allclose(
+        np.asarray(im.min_pool(jnp.asarray(x), 2)),
+        -F.max_pool2d(-torch.from_numpy(x)[None], 2)[0].numpy(), rtol=1e-6)
+    # numpy block-reshape oracle for all three modes
+    blocks = x.reshape(2, 4, 2, 4, 2)
+    np.testing.assert_allclose(np.asarray(im.avg_pool(jnp.asarray(x), 2)),
+                               blocks.mean(axis=(2, 4)), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(im.max_pool(jnp.asarray(x), 2)),
+                               blocks.max(axis=(2, 4)), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(im.min_pool(jnp.asarray(x), 2)),
+                               blocks.min(axis=(2, 4)), rtol=1e-6)
     np.testing.assert_allclose(
         np.asarray(im.avg_pool_stride1(jnp.asarray(x), 3)),
         F.avg_pool2d(torch.from_numpy(x)[None], 3, stride=1)[0].numpy(),

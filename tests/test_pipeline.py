@@ -346,3 +346,45 @@ def test_latency_harness_knobs(models):
         for section in ("ttft", "ttst"):
             for k in ("mean", "std", "p5", "p50", "p95"):
                 assert np.isfinite(out[section][k])
+
+
+def test_coarse_pooling_geometry_and_pool_modes(models):
+    """coarse_pooling=2 (world_pipeline.py:956,998-1016): the pooled coarse
+    stage emits TILE/pool windows at STRIDE/pool, and per-channel pool
+    modes route elev/p5 through max/avg/min while climate channels always
+    avg-pool.  Semantics oracle: with identical seed/models, pooled values
+    obey min_pool <= avg_pool <= max_pool elementwise on the moded
+    channels, and the always-avg channels are identical across modes."""
+
+    def build(mode):
+        p = _make_pipe(models, coarse_pooling=2,
+                       elev_coarse_pool_mode=mode, p5_coarse_pool_mode=mode)
+        p.bind()
+        return p
+
+    pipes = {m: build(m) for m in ("min", "avg", "max")}
+
+    # geometry: pooled output window/stride in pooled cells
+    win = pipes["avg"].coarse.output_window
+    assert tuple(win.size) == (7, 32, 32)
+    assert tuple(win.stride) == (7, 24, 24)
+
+    def norm_region(p):
+        raw = np.asarray(p.coarse[:, 0:24, 0:24])
+        assert raw.shape == (7, 24, 24)
+        w = raw[6]
+        assert (w > 0).all(), "blend weight channel must be positive"
+        return raw[:6] / w
+
+    maps = {m: norm_region(p) for m, p in pipes.items()}
+    eps = 1e-5
+    for ch in (0, 1):  # elev (elev_coarse_pool_mode), p5 (p5_coarse_pool_mode)
+        assert (maps["min"][ch] <= maps["avg"][ch] + eps).all()
+        assert (maps["avg"][ch] <= maps["max"][ch] + eps).all()
+        assert float(np.max(maps["max"][ch] - maps["min"][ch])) > 1e-3, \
+            f"pool mode must change channel {ch} (max==min everywhere)"
+    for ch in range(2, 6):  # climate channels always avg-pool
+        np.testing.assert_allclose(maps["min"][ch], maps["max"][ch],
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(maps["min"][ch], maps["avg"][ch],
+                                   rtol=1e-5, atol=1e-5)

@@ -521,34 +521,126 @@ class TestEndToEndPipelineParity:
             out[name] = (ref, (model, params))
         return out
 
-    def test_get_parity_vs_reference_pipeline(self, tmp_path, monkeypatch):
+    def _make_pipes(self, tmp_path, monkeypatch, extra=None):
+        """Reference + our pipeline on identical weights/seed/stats, with
+        `extra` ctor kwargs applied to BOTH (the configuration axis under
+        test)."""
         wp = import_reference("inference.world_pipeline")
         from terrain_diffusion_tpu.pipeline.world import WorldPipeline
 
         self._write_stats_json(tmp_path)
         monkeypatch.chdir(tmp_path)
         pairs = self._paired_models()
+        kw = {**self.PIPE_KW, **(extra or {})}
 
-        ref_pipe = wp.WorldPipeline(seed=self.SEED, **self.PIPE_KW)
+        ref_pipe = wp.WorldPipeline(seed=self.SEED, **kw)
         ref_pipe.coarse_model = pairs["coarse"][0]
         ref_pipe.base_model = pairs["base"][0]
         ref_pipe.decoder_model = pairs["decoder"][0]
         ref_pipe._apply_dtype_and_compile()
         ref_pipe.bind()
-        with torch.no_grad():
-            ref_out = ref_pipe.get(0, 0, 24, 24)
 
         pipe = WorldPipeline(seed=self.SEED, noise_mode="portable",
-                             **self.PIPE_KW).set_models(
+                             **kw).set_models(
             pairs["coarse"][1], pairs["base"][1], pairs["decoder"][1])
         pipe.bind()
-        out = pipe.get(0, 0, 24, 24)
+        return ref_pipe, pipe
+
+    def _assert_get_parity(self, ref_pipe, pipe, box=(0, 0, 24, 24)):
+        """<1e-3 rel RMSE on elev AND climate for `box`; returns both outputs
+        (reference's as numpy) for extra case-specific checks."""
+        with torch.no_grad():
+            ref_out = ref_pipe.get(*box)
+        out = pipe.get(*box)
 
         r_elev = ref_out["elev"].numpy()
         r_clim = ref_out["climate"].numpy()
         # non-vacuous: real terrain variation, not an all-zeros degenerate
         assert float(np.std(r_elev)) > 1.0 and np.isfinite(r_elev).all()
         assert float(np.std(r_clim)) > 0.1 and np.isfinite(r_clim).all()
+        assert rel_rmse(np.asarray(out["elev"]), r_elev) < 1e-3, \
+            rel_rmse(np.asarray(out["elev"]), r_elev)
+        assert rel_rmse(np.asarray(out["climate"]), r_clim) < 1e-3, \
+            rel_rmse(np.asarray(out["climate"]), r_clim)
+        return {"elev": r_elev, "climate": r_clim}, out
+
+    def test_get_parity_vs_reference_pipeline(self, tmp_path, monkeypatch):
+        ref_pipe, pipe = self._make_pipes(tmp_path, monkeypatch)
+        self._assert_get_parity(ref_pipe, pipe)
+
+    @pytest.mark.parametrize("onestep", [False, True],
+                             ids=["T1_twostep", "T1_onestep"])
+    def test_T1_latent_parity(self, tmp_path, monkeypatch, onestep):
+        """T=1 fuses the latent phases into one tensor; onestep_latent drops
+        the intermediate step entirely (world_pipeline.py:1144-1172)."""
+        ref_pipe, pipe = self._make_pipes(
+            tmp_path, monkeypatch, dict(T=1, onestep_latent=onestep))
+        self._assert_get_parity(ref_pipe, pipe)
+
+    def test_coarse_pooling_mixed_pool_modes_parity(self, tmp_path,
+                                                    monkeypatch):
+        """coarse_pooling=2 with per-channel pool modes: elev max-pooled,
+        p5 min-pooled, climate avg (world_pipeline.py:998-1016) — the
+        pooled coarse grid then feeds the whole downstream hierarchy."""
+        ref_pipe, pipe = self._make_pipes(
+            tmp_path, monkeypatch,
+            dict(coarse_pooling=2, elev_coarse_pool_mode="max",
+                 p5_coarse_pool_mode="min"))
+        self._assert_get_parity(ref_pipe, pipe)
+
+    def test_set_cond_snr_rebuild_parity(self, tmp_path, monkeypatch):
+        """set_cond_snr rebuilds every stage (world_pipeline.py:764-777);
+        regenerated terrain must still match — and must actually differ
+        from the old SNR's terrain (the rebuild is not a no-op)."""
+        ref_pipe, pipe = self._make_pipes(tmp_path, monkeypatch)
+        ref_before, _ = self._assert_get_parity(ref_pipe, pipe)
+
+        new_snr = [0.25, 1.5, 1.5, 1.5, 1.5]
+        ref_pipe.set_cond_snr(new_snr)
+        pipe.set_cond_snr(new_snr)
+        ref_after, _ = self._assert_get_parity(ref_pipe, pipe)
+        assert not np.allclose(ref_after["elev"], ref_before["elev"]), \
+            "set_cond_snr rebuild must change the generated terrain"
+
+    def test_custom_conditioning_import_parity(self, tmp_path, monkeypatch):
+        """set_custom_conditioning_import switches conditioning to the
+        raw-Perlin+import merge with sqrt applied to elevation ONLY
+        (world_pipeline.py:779-819, :873-903 — the tiff-export path)."""
+        ref_pipe, pipe = self._make_pipes(tmp_path, monkeypatch)
+        ref_before, _ = self._assert_get_parity(ref_pipe, pipe)
+
+        rng = np.random.default_rng(5)
+        elev_raster = (rng.standard_normal((8, 8)) * 900.0 + 400.0
+                       ).astype(np.float32)
+        precip_raster = np.abs(rng.standard_normal((6, 6)) * 600.0 + 900.0
+                               ).astype(np.float32)
+        for p in (ref_pipe, pipe):
+            # footprint overlaps the queried window's conditioning cells
+            p.set_custom_conditioning_import(0, elev_raster, -3, -3)
+            # second channel with a default fill outside its footprint
+            p.set_custom_conditioning_import(3, precip_raster, 0, 0,
+                                             default_value=750.0)
+        ref_after, _ = self._assert_get_parity(ref_pipe, pipe)
+        assert not np.allclose(ref_after["elev"], ref_before["elev"]), \
+            "conditioning import must change the generated terrain"
+
+    def test_supersampled_api_query_parity(self, tmp_path, monkeypatch):
+        """scale=2 API supersampling: padded native fetch + bilinear
+        upsample + offset crop (reference api.py:103-166) vs our serving
+        helper, on an odd-offset box exercising the crop arithmetic."""
+        ref_api = import_reference("inference.api")
+        from terrain_diffusion_tpu.serving import api as our_api
+
+        ref_pipe, pipe = self._make_pipes(tmp_path, monkeypatch)
+        box = (3, 5, 35, 37)  # target (scaled) coords, odd offsets
+        with torch.no_grad():
+            ref_out = ref_api._get_terrain(ref_pipe, *box, scale=2)
+        out = our_api.get_terrain(pipe, *box, scale=2)
+
+        r_elev = np.asarray(ref_out["elev"])
+        r_clim = np.asarray(ref_out["climate"])
+        assert r_elev.shape == (32, 32) and np.isfinite(r_elev).all()
+        assert float(np.std(r_elev)) > 1.0
         assert rel_rmse(np.asarray(out["elev"]), r_elev) < 1e-3, \
             rel_rmse(np.asarray(out["elev"]), r_elev)
         assert rel_rmse(np.asarray(out["climate"]), r_clim) < 1e-3, \
