@@ -67,13 +67,16 @@ float perlin_single(int32_t seed, float x, float y) {
   return lerp(xf0, xf1, ys) * 1.4247691104677813f;
 }
 
+// FastNoiseLite's CalculateFractalBounding, verbatim: amp multiplies BEFORE
+// accumulating (sum = 1 + g^2 + ... + g^octaves, no g^1 term) — kept
+// bit-faithful to the published implementation; see ops/perlin.py.
 inline float fractal_bounding(int octaves, float gain) {
   float g = std::fabs(gain);
   float amp = g;
   float amp_fractal = 1.0f;
   for (int i = 1; i < octaves; ++i) {
-    amp_fractal += amp;
     amp *= g;
+    amp_fractal += amp;
   }
   return 1.0f / amp_fractal;
 }

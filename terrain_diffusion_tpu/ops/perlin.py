@@ -70,11 +70,21 @@ def _perlin_single_np(seed: np.int32, x: np.ndarray, y: np.ndarray) -> np.ndarra
 
 
 def fractal_bounding(octaves: int, gain: float) -> float:
+    """FastNoiseLite's CalculateFractalBounding, verbatim: amp starts at
+    |gain| and is multiplied BEFORE accumulating, so the sum is
+    1 + g^2 + ... + g^octaves (the g^1 term is absent).  That under-counts
+    the true amplitude sum — a quirk of the published implementation, kept
+    bit-faithfully because the reference's stats JSON bakes this constant
+    into its noise quantile tables (pyfastnoiselite; synthetic_map.py:45-51),
+    and a mismatched constant would skew any pipeline fed those tables.
+    (The quantile transform cancels the constant whenever tables and fields
+    come from the SAME implementation — see test_synthetic_map's
+    scale-invariance test.)"""
     g = abs(gain)
     amp, amp_fractal = g, 1.0
     for _ in range(1, octaves):
-        amp_fractal += amp
         amp *= g
+        amp_fractal += amp
     return 1.0 / amp_fractal
 
 

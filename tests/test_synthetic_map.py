@@ -11,7 +11,9 @@ def test_perlin_np_properties():
     xs, ys = np.meshgrid(np.arange(64, dtype=np.float32), np.arange(64, dtype=np.float32))
     v = pl.perlin_fbm_np(3, 0.05, 4, 2.0, 0.5, xs.ravel(), ys.ravel()).reshape(64, 64)
     assert v.shape == (64, 64)
-    assert np.abs(v).max() <= 1.01  # fractal bounding keeps |v| <= ~1
+    # FastNoiseLite's published fractal bounding under-counts the amplitude
+    # sum (no g^1 term), so |v| can exceed 1 by up to ~30% at gain 0.5
+    assert np.abs(v).max() <= 1.35
     assert v.std() > 0.05
     # determinism + seed sensitivity
     v2 = pl.perlin_fbm_np(3, 0.05, 4, 2.0, 0.5, xs.ravel(), ys.ravel()).reshape(64, 64)
@@ -179,3 +181,114 @@ def test_stats_divergence_script(tmp_path):
     for r in rows:
         assert r["quantile_rmse_over_std"] > 0.01
         assert r["field_w1_over_std"] > 0.01
+
+
+# ---------------------------------------------------------------------------
+# Independent anchor for FastNoiseLite equivalence (round 5).
+#
+# pyfastnoiselite is not installable here, so every in-repo Perlin variant
+# (numpy/C++/JAX) descends from one transcription — a shared transcription
+# bug would be invisible to their cross-checks.  The scalar implementation
+# below is a second, self-contained derivation of FastNoiseLite's 2-D
+# Perlin FBm written directly from the published algorithm (Auburn/
+# FastNoiseLite: hash primes 501125321/1136930381, hash mult 0x27d4eb2d,
+# 32-bit wrapping int arithmetic, quintic smoothing, the 24-direction
+# gradient table at 82.5-15k degrees cycled over 128 pairs, the 1.42476911
+# single-noise scale, seed++ per octave, and CalculateFractalBounding's
+# multiply-before-accumulate loop).  It imports nothing from ops/perlin.
+# ---------------------------------------------------------------------------
+
+def _fnl_scalar_fbm(seed, freq, octaves, lacunarity, gain, x, y):
+    import math
+
+    def i32(v):
+        return ((v + 0x80000000) & 0xFFFFFFFF) - 0x80000000
+
+    def imul32(a, b):
+        return i32((a * b) & 0xFFFFFFFF)
+
+    PRIME_X, PRIME_Y, HMULT = 501125321, 1136930381, 0x27D4EB2D
+    dirs = [(math.cos(math.radians(82.5 - 15.0 * k)),
+             math.sin(math.radians(82.5 - 15.0 * k))) for k in range(24)]
+    grad = []
+    for i in range(128):
+        grad.extend(dirs[i % 24])
+
+    def grad_coord(seed, xp, yp, xd, yd):
+        h = imul32(i32(seed ^ xp ^ yp), HMULT)
+        h ^= h >> 15  # python's >> on negative ints is arithmetic, as C++
+        h &= 127 << 1
+        return xd * grad[h] + yd * grad[h | 1]
+
+    def quintic(t):
+        return t * t * t * (t * (t * 6 - 15) + 10)
+
+    def single(seed, x, y):
+        x0 = math.floor(x)
+        y0 = math.floor(y)
+        xd0, yd0 = x - x0, y - y0
+        xd1, yd1 = xd0 - 1.0, yd0 - 1.0
+        xs, ys = quintic(xd0), quintic(yd0)
+        x0 = imul32(int(x0), PRIME_X)
+        y0 = imul32(int(y0), PRIME_Y)
+        x1, y1 = i32(x0 + PRIME_X), i32(y0 + PRIME_Y)
+        xf0 = (1 - xs) * grad_coord(seed, x0, y0, xd0, yd0) \
+            + xs * grad_coord(seed, x1, y0, xd1, yd0)
+        xf1 = (1 - xs) * grad_coord(seed, x0, y1, xd0, yd1) \
+            + xs * grad_coord(seed, x1, y1, xd1, yd1)
+        return ((1 - ys) * xf0 + ys * xf1) * 1.4247691104677813
+
+    amp = abs(gain)
+    amp_fractal = 1.0
+    for _ in range(1, octaves):
+        amp *= abs(gain)
+        amp_fractal += amp
+    x, y = x * freq, y * freq
+    total, amp = 0.0, 1.0 / amp_fractal
+    for i in range(octaves):
+        total += single(i32(seed + i), x, y) * amp
+        x *= lacunarity
+        y *= lacunarity
+        amp *= gain
+    return total
+
+
+def test_perlin_matches_independent_scalar_rederivation():
+    """Golden-vector anchor that does not touch ops/perlin internals: 20
+    random (seed, freq, octaves, lacunarity, gain) configs x 3 coordinates,
+    f32-precision agreement with the blind scalar derivation above."""
+    rng = np.random.default_rng(0)
+    worst = 0.0
+    for _ in range(20):
+        seed = int(rng.integers(0, 2**31))
+        freq = float(rng.uniform(0.01, 0.3))
+        octaves = int(rng.integers(1, 5))
+        lac = float(rng.uniform(1.5, 2.5))
+        gain = float(rng.uniform(0.3, 0.7))
+        xs = rng.uniform(-1000, 1000, 3).astype(np.float32)
+        ys = rng.uniform(-1000, 1000, 3).astype(np.float32)
+        got = np.asarray(pl.perlin_fbm(seed, freq, octaves, lac, gain, xs, ys),
+                         np.float64)
+        want = np.asarray([_fnl_scalar_fbm(seed, freq, octaves, lac, gain,
+                                           float(x), float(y))
+                           for x, y in zip(xs, ys)])
+        worst = max(worst, float(np.max(np.abs(got - want))))
+    assert worst < 5e-4, worst  # f32 kernel vs f64 scalar
+
+
+def test_quantile_transform_cancels_noise_scale():
+    """Why the fractal-bounding constant cannot skew default pipelines: the
+    quantile transform is invariant to any uniform scaling of the noise as
+    long as the noise quantile table comes from the SAME implementation as
+    the field (synthetic_map recomputes tables live from ops/perlin)."""
+    rng = np.random.default_rng(3)
+    samples = rng.standard_normal(20_000).astype(np.float32)
+    field = rng.standard_normal((32, 32)).astype(np.float32)
+    data_q = np.sort(rng.uniform(-3000, 3000, 64)).astype(np.float64)
+
+    base = transform_perlin(field, build_quantiles(samples, 64), data_q)
+    for c in (0.5714 / 0.7273, 3.7):
+        scaled = transform_perlin(
+            np.float32(c) * field,
+            build_quantiles(np.float32(c) * samples, 64), data_q)
+        np.testing.assert_allclose(scaled, base, rtol=1e-4, atol=1e-2)

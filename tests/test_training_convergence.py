@@ -150,12 +150,16 @@ def test_consistency_student_approaches_teacher_ode(trained_diffusion):
 
     err0 = student_err(state["params"])
     counters = {"step": 0, "seen": 0}
-    for i, batch in enumerate(_batches(data, 8, 600, seed=5)):
+    # 1000 steps measured at ratio 0.449 (600 steps: 0.474) — margin under
+    # the 0.5x bar the diffusion/AE tests also use
+    for i, batch in enumerate(_batches(data, 8, 1000, seed=5)):
         m = trainer.train_step(state, batch,
                                jax.random.fold_in(jax.random.key(3), i), counters)
     assert np.isfinite(m["loss"])
     err1 = student_err(state["params"])
-    assert err1 < 0.6 * err0, (err0, err1)
+    print(f"consistency distillation: err0={err0:.5f} err1={err1:.5f} "
+          f"ratio={err1 / err0:.3f}")
+    assert err1 < 0.5 * err0, (err0, err1)
 
 
 def test_resume_is_bit_identical(tmp_path):
@@ -204,3 +208,104 @@ def test_resume_is_bit_identical(tmp_path):
         np.testing.assert_array_equal(
             np.asarray(leaf), np.asarray(flat_c_map[path]),
             err_msg=f"resume diverged at {jax.tree_util.keystr(path)}")
+
+
+def test_gan_reaches_relativistic_equilibrium_and_fid_improves():
+    """GAN trainer must LEARN (reference contract `trainers/gan.py:102-343`):
+    300 adversarial steps on the structured-image family must (a) keep the
+    discriminator in the relativistic equilibrium band — softplus losses
+    near log 2, neither side collapsed — and (b) improve the FID proxy
+    (terrain-feature Frechet distance, the trainer's own eval) by >40%."""
+    from terrain_diffusion_tpu.training.trainers.gan import GANTrainer
+
+    def unet(in_ch, out_ch):
+        return EDMUnet2D(EDMUnetConfig(
+            image_size=H, in_channels=in_ch, out_channels=out_ch,
+            model_channels=8, model_channel_mults=(1,), layers_per_block=1,
+            midblock_attention=False))
+
+    data = _structured_images(np.random.default_rng(1), 256)[..., :1]
+    config = {
+        "training": {"latent_channels": 2, "mode": "plain", "r_gamma": 0.1,
+                     "r_interval": 4, "burnin_steps": 0, "kl_weight": 0.0,
+                     "range_weight": 0.0, "disc_lr_mult": 1.0},
+        "g_optimizer": {"kwargs": {"betas": (0.0, 0.99)}},
+        "d_optimizer": {"kwargs": {"betas": (0.0, 0.99)}},
+    }
+    trainer = GANTrainer(config, {
+        "model": unet(2, 1), "discriminator": unet(1, 1),
+        "lr_sched": ls.ConstantLRScheduler(2e-3)})
+    state = trainer.init_state(jax.random.key(0))
+    state["ema"] = None
+    counters = {"step": 0, "seen": 0}
+
+    val_batch = {"image": data[:64]}
+    fid0 = trainer.evaluate(state, [val_batch], jax.random.key(9))["val/fid"]
+
+    rng = np.random.default_rng(3)
+    d_losses, g_losses = [], []
+    for i in range(300):
+        idx = rng.integers(0, len(data), 16)
+        m = trainer.train_step(state, {"image": data[idx]},
+                               jax.random.fold_in(jax.random.key(2), i),
+                               counters)
+        d_losses.append(m["d_loss"])
+        g_losses.append(m["g_loss"])
+
+    d_band = float(np.mean(d_losses[-50:]))
+    g_band = float(np.mean(g_losses[-50:]))
+    print(f"gan: d_last50={d_band:.3f} g_last50={g_band:.3f}")
+    # relativistic softplus equilibrium is log 2 ~ 0.69; a collapsed D
+    # drives d_loss -> 0 (and g_loss -> inf), a failed D -> d_loss >> 1
+    assert 0.2 < d_band < 1.3, (d_band, g_band)
+    assert 0.2 < g_band < 3.0, (d_band, g_band)
+
+    fid1 = trainer.evaluate(state, [val_batch], jax.random.key(9))["val/fid"]
+    print(f"gan: fid0={fid0:.1f} fid1={fid1:.1f}")
+    assert np.isfinite(fid1)
+    assert fid1 < 0.6 * fid0, (fid0, fid1)
+
+
+def test_perceptron_learns_separable_biomes():
+    """Perceptron trainer must classify a cleanly separable synthetic
+    climate->biome set at >90% held-out accuracy (reference contract
+    `trainers/perceptron.py`: cross-entropy on climate 4-vectors)."""
+    from terrain_diffusion_tpu.nn.perceptron import Perceptron, PerceptronConfig
+    from terrain_diffusion_tpu.training.trainers.perceptron import (
+        PerceptronTrainer)
+
+    rng = np.random.default_rng(0)
+    n = 4096
+    temp = rng.uniform(-15, 35, n).astype(np.float32)
+    precip = rng.uniform(0, 2000, n).astype(np.float32)
+    t_std = rng.uniform(0, 400, n).astype(np.float32)
+    p_cv = rng.uniform(0, 150, n).astype(np.float32)
+    # 4 biome classes from two independent thresholds (Koppen-ish):
+    # hot/cold x wet/dry — linearly separable given the inputs
+    labels = (2 * (temp > 10) + (precip > 1000)).astype(np.int32)
+    x = np.stack([temp / 20.0, precip / 1000.0, t_std / 200.0, p_cv / 75.0],
+                 axis=-1)
+    x_train, y_train = x[:3584], labels[:3584]
+    x_val, y_val = x[3584:], labels[3584:]
+
+    model = Perceptron(PerceptronConfig(in_dim=4, out_dim=4,
+                                        hidden_dims=(32, 32)))
+    trainer = PerceptronTrainer(
+        {"training": {}},
+        {"model": model, "lr_sched": ls.ConstantLRScheduler(3e-3)})
+    state = trainer.init_state(jax.random.key(0))
+    state["ema"] = None
+    counters = {"step": 0, "seen": 0}
+
+    b_rng = np.random.default_rng(5)
+    for i in range(250):
+        idx = b_rng.integers(0, len(x_train), 64)
+        m = trainer.train_step(
+            state, {"image": x_train[idx], "label": y_train[idx]},
+            jax.random.fold_in(jax.random.key(1), i), counters)
+    assert np.isfinite(m["loss"])
+
+    logits = model.apply(state["params"], jnp.asarray(x_val))
+    acc = float((np.asarray(logits).argmax(-1) == y_val).mean())
+    print(f"perceptron: held-out acc={acc:.3f}")
+    assert acc > 0.9, acc
