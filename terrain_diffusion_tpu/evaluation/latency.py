@@ -54,6 +54,116 @@ def run_latency(world, n_runs: int = 10, tile: int = 512, separation: int = 200 
             "memory": device_memory_stats()}
 
 
+def run_http_benchmark(pipeline, *, concurrency_levels=(1, 4, 8),
+                       requests_per_client: int = 8, tile: int = 512,
+                       coalesce: bool = True, with_climate: bool = True,
+                       host: str = "127.0.0.1") -> dict:
+    """Requests/s through the FULL HTTP serving stack at several client
+    concurrencies: `serving/api.py` endpoints (binary wire format) on the
+    first-party threaded WSGI server, with concurrent tile requests
+    coalesced into shared stage batches when `coalesce=True`.
+
+    The reference's server is single-threaded Flask (`api.py:249`), so
+    every concurrency level >1 here measures capability it cannot express;
+    level 1 is the like-for-like comparison point.
+
+    Per level: each client streams `requests_per_client` adjacent `tile`
+    boxes at its own far-away location (steady serving regime); the first
+    request per client is untimed warmup for its region.  Returns
+    requests/s + per-request p50 per level.
+    """
+    import threading
+    import urllib.request
+    from wsgiref.simple_server import WSGIRequestHandler, WSGIServer, make_server
+
+    from terrain_diffusion_tpu.serving import api as api_mod
+
+    api_mod.configure(pipeline=pipeline, coalesce=coalesce)
+    app = api_mod.app
+
+    import socketserver
+
+    class _Server(socketserver.ThreadingMixIn, WSGIServer):
+        daemon_threads = True
+
+    class _Quiet(WSGIRequestHandler):
+        def log_message(self, *a):
+            pass
+
+    lock = threading.Lock()
+    wsgi = app.wsgi
+    if not coalesce:  # plain pipeline is not thread-safe: serialize handlers
+        def wsgi(environ, start_response, _inner=app.wsgi):
+            with lock:
+                return _inner(environ, start_response)
+
+    httpd = make_server(host, 0, wsgi, server_class=_Server,
+                        handler_class=_Quiet)
+    port = httpd.server_address[1]
+    server_thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    server_thread.start()
+
+    def fetch(i1, j1):
+        url = (f"http://{host}:{port}/terrain?i1={i1}&j1={j1}"
+               f"&i2={i1 + tile}&j2={j1 + tile}")
+        with urllib.request.urlopen(url, timeout=600) as r:
+            data = r.read()
+            h = int(r.headers["X-Height"])
+            w = int(r.headers["X-Width"])
+        expect = h * w * 2 + (h * w * 16 if with_climate else 0)
+        if len(data) < h * w * 2 or h != tile or w != tile:
+            raise AssertionError(
+                f"bad payload: {len(data)} bytes (>= {expect} expected), "
+                f"{h}x{w}")
+        return len(data)
+
+    results: dict = {"tile": tile, "requests_per_client": requests_per_client,
+                     "coalesce": coalesce, "levels": {}}
+    try:
+        # global warmup: compile the serving programs once
+        fetch(0, 0)
+        sep = 500 * tile
+        for level_idx, c in enumerate(concurrency_levels):
+            bases = [((level_idx * 64 + k + 7) * sep, (k + 3) * sep)
+                     for k in range(c)]
+            for bi, bj in bases:  # per-region warmup (untimed)
+                fetch(bi, bj)
+            lat: list = []
+            errors: list = []
+
+            def client(bi, bj):
+                try:
+                    for r in range(1, requests_per_client + 1):
+                        t0 = time.perf_counter()
+                        fetch(bi + r * tile, bj)
+                        lat.append(time.perf_counter() - t0)
+                except Exception as e:  # surfaced after join
+                    errors.append(e)
+
+            threads = [threading.Thread(target=client, args=b) for b in bases]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            wall = time.perf_counter() - t0
+            if errors:
+                raise errors[0]
+            n = c * requests_per_client
+            results["levels"][str(c)] = {
+                "clients": c,
+                "requests": n,
+                "wall_s": round(wall, 3),
+                "requests_per_sec": round(n / wall, 3),
+                "latency_p50_s": round(float(np.percentile(lat, 50)), 4),
+            }
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        server_thread.join(timeout=10)
+    return results
+
+
 def device_memory_stats() -> dict:
     """Peak/current HBM use of device 0 (reference reports peak VRAM via
     `torch.cuda.max_memory_allocated`, `evaluation/latency.py:104-106`).
@@ -93,11 +203,16 @@ def device_memory_stats() -> dict:
 @click.option("--max-batch-size", type=int, default=None,
               help="power-of-2 cap: use batch buckets [1, 2, ..., N] "
                    "(reference max_batch_size; overrides --batch-size)")
+@click.option("--http", "http_mode", is_flag=True, default=False,
+              help="Also measure requests/s through the HTTP serving stack "
+                   "at 1/4/8 concurrent clients (threaded WSGI + coalescer).")
+@click.option("--http-requests", type=int, default=8,
+              help="Requests per client per concurrency level (--http).")
 @click.option("--grid-aligned", is_flag=True, default=False,
               help="snap query boxes to tile multiples (reference ablation)")
 def main(model_path, runs, tile, batch_size, seed, dtype, with_climate,
          onestep_latent, t_steps, decoder_tile_size, decoder_tile_stride,
-         max_batch_size, grid_aligned):
+         max_batch_size, http_mode, http_requests, grid_aligned):
     """Measure TTFT/TTST tile latency on the current device."""
     from terrain_diffusion_tpu.pipeline.world import WorldPipeline
 
@@ -117,6 +232,10 @@ def main(model_path, runs, tile, batch_size, seed, dtype, with_climate,
     world.bind()
     out = run_latency(world, n_runs=runs, tile=tile, seed=seed,
                       with_climate=with_climate, grid_aligned=grid_aligned)
+    if http_mode:
+        out["http"] = run_http_benchmark(
+            world, tile=tile, requests_per_client=http_requests,
+            with_climate=True)
     print(json.dumps(out, indent=2))
 
 

@@ -64,6 +64,20 @@ def _row_mask(shape_rows, r0, H, dtype):
     return ((rows >= 0) & (rows < H)).astype(dtype)
 
 
+def _apply_row_mask(x, R, r0, H):
+    """x * row_mask for absolute rows r0..r0+R.
+
+    Measured dead end (round 5, do not retry): gating this behind
+    `lax.cond((r0 < 0) | (r0 + R > H), ...)` so interior row tiles skip
+    the full-buffer multiply is performance-NEUTRAL on v5e — interleaved
+    A/B of the full decoder-64 forward (b2 512px bf16, 9 reps,
+    data-dependency-forced sync): baseline min/median 31.35/31.78 ms/img
+    vs edge-only 31.40/31.97.  The mask multiply is already cheap
+    (~27 us/block attribution, round 3) and the scf.if control flow costs
+    what the skipped passes save."""
+    return x * _row_mask(R, r0, H, x.dtype)
+
+
 def _nearest_up2(x, interpret):
     """Nearest x2 upsample of (R, W, C) along rows and W.  Compiled mode
     uses pltpu.repeat (`jnp.repeat`'s reshape lowering hits Mosaic's
@@ -208,16 +222,17 @@ def _block_body(xs, x2s, w0_ref, w1_ref, c_ref, wsk_ref, o_ref, *, n, r0,
     has_skip = wsk_ref is not None
     f32 = jnp.float32
 
-    # ---- rows [r0, r0+TH+4) with out-of-image rows zeroed
-    rmask = _row_mask(TH + 4, r0, H, f32)
-    xs = xs.astype(f32) * rmask
+    # ---- rows [r0, r0+TH+4) with out-of-image rows zeroed (masking after
+    # the concat is exact: a 0/1 row mask distributes over channel concat)
+    xs = xs.astype(f32)
     if concat_scales is not None:
         # fused magnitude-preserving skip concat (mp_concat): the two
         # halves are scaled in VMEM instead of materializing the 2C
         # tensor in HBM
         s1, s2 = concat_scales
-        xs = jnp.concatenate([xs * s1, x2s.astype(f32) * rmask * s2], axis=-1)
+        xs = jnp.concatenate([xs * s1, x2s.astype(f32) * s2], axis=-1)
         Cin = xs.shape[-1]
+    xs = _apply_row_mask(xs, TH + 4, r0, H)
 
     if mode == "enc":
         if has_skip:  # 1x1 projection BEFORE pixel norm (reference order)
@@ -257,7 +272,7 @@ def _block_body(xs, x2s, w0_ref, w1_ref, c_ref, wsk_ref, o_ref, *, n, r0,
 
     # ---- emb gain + act; zero rows outside the image (conv1's zero pad)
     cvec = c_ref[n].astype(f32)  # (Cmid,)
-    h = _silu(h * cvec[None, None, :]) * _row_mask(TH + 2, r0 + 1, H, f32)
+    h = _apply_row_mask(_silu(h * cvec[None, None, :]), TH + 2, r0 + 1, H)
 
     # ---- second conv; 1/0.596 folded into w1
     Cout_blk = w1_ref.shape[-1]
@@ -536,7 +551,7 @@ def _conv_kernel(xm1_ref, x_ref, xp1_ref, w_ref, o_ref, *, H):
     TH, W, Cin = x_ref.shape[1:]
     xs = jnp.concatenate(
         [xm1_ref[0, TH - 1:], x_ref[0], xp1_ref[0, :1]], axis=0)  # (TH+2,W,C)
-    xs = xs * _row_mask(TH + 2, i * TH - 1, H, xs.dtype)
+    xs = _apply_row_mask(xs, TH + 2, i * TH - 1, H)
     y = _conv3x3(xs, w_ref, TH, jnp.float32, pack_taps=Cin <= 64)
     o_ref[0] = y.astype(o_ref.dtype)
 
@@ -556,7 +571,7 @@ def _conv_kernel_carry(x_ref, w_ref, o_ref, s_ref, *, H):
     @pl.when(i > 0)
     def _compute():
         xs = jnp.concatenate([s_ref[...], x_ref[0, :1]], axis=0)  # (TH+2,..)
-        xs = xs * _row_mask(TH + 2, (i - 1) * TH - 1, H, xs.dtype)
+        xs = _apply_row_mask(xs, TH + 2, (i - 1) * TH - 1, H)
         y = _conv3x3(xs, w_ref, TH, jnp.float32, pack_taps=Cin <= 64)
         o_ref[0] = y.astype(o_ref.dtype)
         top = s_ref[-1:]

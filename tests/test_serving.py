@@ -292,3 +292,19 @@ def test_explorer_ui_references_all_api_routes():
     for marker in ["coarse_stats", "_min=", "_max=", "pan_i", "detail_size",
                    "mousemove", "Zoom", "mode=", "clipboard"]:
         assert re.search(marker, html), f"UI capability missing: {marker}"
+
+
+def test_http_benchmark_real_sockets(pipe):
+    """`latency --http`: the requests/s benchmark drives the REAL stack —
+    threaded WSGI server on a live socket, coalesced pipeline, binary wire
+    responses — at 1 and 2 concurrent clients, and reports sane numbers."""
+    from terrain_diffusion_tpu.evaluation.latency import run_http_benchmark
+
+    out = run_http_benchmark(pipe, concurrency_levels=(1, 2),
+                             requests_per_client=2, tile=24)
+    assert out["coalesce"] is True
+    assert set(out["levels"]) == {"1", "2"}
+    for c, lvl in out["levels"].items():
+        assert lvl["requests"] == int(c) * 2
+        assert lvl["requests_per_sec"] > 0
+        assert lvl["latency_p50_s"] > 0
