@@ -218,9 +218,11 @@ from terrain_diffusion_tpu.pipeline.world import WorldPipeline
 
 out_path = sys.argv[1]
 result = {}
+_T0 = time.perf_counter()
 
 
 def flush():
+    result["elapsed_s"] = round(time.perf_counter() - _T0, 1)
     with open(out_path + ".tmp", "w") as f:
         json.dump(result, f)
     os.replace(out_path + ".tmp", out_path)
@@ -255,11 +257,6 @@ pipe = WorldPipeline(seed=1234, latents_batch_size=[1, 2, 4, 8, 16],
                      dtype="bf16").set_models(*models)
 pipe.bind()
 
-t0 = time.perf_counter()
-pipe.get(0, 0, 512, 512, pack_wire=True)
-result["warmup_s"] = round(time.perf_counter() - t0, 2)
-flush()
-
 
 def row(k_tiles, n):
     # 512-aligned bases with k = 2 (mod 3) keep every run on the same
@@ -282,11 +279,16 @@ def device_row(r):
 # The device-side numbers come FIRST: `e2e_steady_device_tiles_per_sec`
 # is the contract metric (BASELINE.md tiles/sec target), and every flush
 # below survives a timeout, so the earlier it lands the more robust the
-# driver artifact is.  The warm row also compiles the stage batch-bucket
-# programs the wire runs reuse.
+# driver artifact is.  The warm row compiles every program the device
+# measurements need AND the stage programs the wire runs reuse; there is
+# deliberately no single-tile `get()` warmup — its per-query compose
+# programs are not used by the row-based measurements, and on this
+# remote backend even cache-warm program LOADS cost 10-20 s each.
 result["phase"] = "device_warm"
 flush()
+t0 = time.perf_counter()
 device_row(row(20_000, 16))
+result["warmup_s"] = round(time.perf_counter() - t0, 2)
 result["phase"] = "device_measure"
 flush()
 
@@ -348,23 +350,39 @@ flush()
 _E2E_CONTRACT_KEY = "e2e_steady_device_tiles_per_sec"
 
 
-def _run_sub(argv_payload, timeout_s: float):
+# Post-hoc diagnostics for the driver artifact: when a stage subprocess
+# fails, its exit reason + stderr tail land here and the orchestrator
+# copies them into the emitted notes (round-5 lesson: a crashed Pallas
+# stage looked identical to a timeout because stderr was discarded).
+LAST_FAILURE: dict = {}
+
+
+def _run_sub(argv_payload, timeout_s: float, tag: str = "stage"):
     """Run a stage subprocess with a hard timeout.  Returns the parsed
     result file — even after a timeout or crash, whatever the subprocess
     last flushed is used (the e2e script rewrites its file after every
-    completed step) — or None if nothing was produced."""
+    completed step) — or None if nothing was produced.  Failure reasons
+    (timeout vs rc + stderr tail) are recorded in LAST_FAILURE[tag]."""
     if timeout_s < 20:
+        LAST_FAILURE[tag] = f"skipped (budget {timeout_s:.0f}s < 20s)"
         return None
     with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
         out_path = f.name
     os.unlink(out_path)  # subprocess atomically creates it on first flush
     env = dict(os.environ, TD_CACHE=_CACHE)
+    t0 = time.monotonic()
     try:
-        subprocess.run(
+        proc = subprocess.run(
             [sys.executable, "-c"] + argv_payload + [out_path],
             timeout=timeout_s, env=env, capture_output=True)
+        if proc.returncode != 0:
+            tail = (proc.stderr or b"")[-300:].decode("utf-8", "replace")
+            LAST_FAILURE[tag] = (f"rc={proc.returncode} after "
+                                 f"{time.monotonic() - t0:.0f}s: {tail}")
+        else:
+            LAST_FAILURE.pop(tag, None)
     except subprocess.TimeoutExpired:
-        pass
+        LAST_FAILURE[tag] = f"timeout after {timeout_s:.0f}s"
     try:
         with open(out_path) as f:
             parsed = json.load(f)
@@ -417,11 +435,11 @@ def probe_devices(timeout_s: float):
 
 
 def run_stage(stage: str, timeout_s: float):
-    return _run_sub([_STAGE_SCRIPT, stage], timeout_s)
+    return _run_sub([_STAGE_SCRIPT, stage], timeout_s, tag=stage)
 
 
 def run_e2e(timeout_s: float):
-    return _run_sub([_E2E_SCRIPT], timeout_s)
+    return _run_sub([_E2E_SCRIPT], timeout_s, tag="e2e")
 
 
 class Bench:
@@ -531,9 +549,12 @@ def main():
     # e2e script flushes after every step with the device-side (contract)
     # numbers first, so even a timeout here keeps them; its compiles also
     # persist to the shared cache, making the end-of-run retry cheap.
-    # The cap reserves enough budget for the analytic stages (~220 s warm
-    # combo + ~270 s Pallas upgrade, round-4 measurements).
-    e2e_cap = min(max(b.remaining() - 500.0, 180.0), 450.0)
+    # Budgeting (round-5 measurements, fully cache-warm): the e2e run
+    # needs ~350-420 s — cached program LOADS through the remote tunnel
+    # cost 10-20 s each — while the warm stage combo takes ~200-300 s and
+    # the Pallas upgrade ~120-270 s, so the cap leans toward the e2e
+    # completing in ONE attempt (a retry repays the program loads).
+    e2e_cap = min(max(b.remaining() - 420.0, 180.0), 520.0)
     if b.remaining() > 300:
         b.e2e = run_e2e(e2e_cap)
         b.emit()
@@ -555,12 +576,14 @@ def main():
         b.coarse = run_stage("coarse", min(300.0, b.remaining()))
         b.emit()
     if not b.coarse:
-        b.notes.append("coarse stage failed/timed out")
+        b.notes.append("coarse stage failed/timed out: "
+                       + LAST_FAILURE.get("coarse", "?"))
     if not b.decoder and b.remaining() > 60:
         b.decoder = run_stage("decoder64xla", min(300.0, b.remaining()))
         b.emit()
     if not b.decoder:
-        b.notes.append("decoder64xla failed/timed out")
+        b.notes.append("decoder64xla failed/timed out: "
+                       + LAST_FAILURE.get("decoder64xla", "?"))
     if not b.base:
         for width in (192, 128, 64):
             if b.remaining() < 60:
@@ -573,18 +596,22 @@ def main():
                 break
         b.emit()
     if not b.base:
-        b.notes.append("base stage failed/timed out")
+        b.notes.append("base stage failed/timed out: "
+                       + LAST_FAILURE.get("base192", "?"))
 
     # 5. decoder Pallas upgrade attempt — only with leftover budget, and it
     # must BEAT the XLA number to be adopted (round-2 lesson: a hung Mosaic
-    # remote compile here must not cost the bench its output)
-    if b.remaining() > 240:
-        pallas = run_stage("decoder64", min(b.remaining() - 150.0, 360.0))
+    # remote compile here must not cost the bench its output).  The e2e
+    # stage already ran first, so a hang here can no longer cost it; a
+    # cache-warm upgrade takes ~120 s.
+    if b.remaining() > 150:
+        pallas = run_stage("decoder64", min(b.remaining() - 30.0, 360.0))
         if pallas and (not b.decoder
                        or pallas["sec_per_call"] < b.decoder["sec_per_call"]):
             b.decoder = pallas
         elif not pallas:
-            b.notes.append("pallas decoder upgrade skipped (failed/timed out)")
+            b.notes.append("pallas decoder upgrade skipped: "
+                           + LAST_FAILURE.get("decoder64", "?"))
         b.emit()
 
     # 6. second chance: retry any failed stage with the leftover budget
@@ -612,8 +639,10 @@ def main():
             b.e2e = again
         e2e_done = bool(b.e2e) and _E2E_CONTRACT_KEY in b.e2e
     if not e2e_done:
-        b.notes.append("e2e get_many stage incomplete "
-                       f"(phase={b.e2e.get('phase', 'none') if b.e2e else 'none'})")
+        b.notes.append(
+            "e2e get_many stage incomplete "
+            f"(phase={b.e2e.get('phase', 'none') if b.e2e else 'none'}; "
+            f"{LAST_FAILURE.get('e2e', '?')})")
 
     b.emit(final=True)
 

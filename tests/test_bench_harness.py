@@ -114,7 +114,8 @@ def test_total_failure_still_emits(monkeypatch):
     final = lines[-1]
     assert final["value"] == 0.0
     assert final["vs_baseline"] == 0.0
-    assert "coarse stage failed/timed out" in final["detail"]["notes"]
+    assert any(n.startswith("coarse stage failed/timed out")
+               for n in final["detail"]["notes"])
 
 
 def test_e2e_fields_merged(monkeypatch):
