@@ -13,7 +13,8 @@ from terrain_diffusion_tpu.pipeline.world import WorldPipeline, resolve_hdf5_pat
 
 
 def generate_world(model_path: str, hdf5_file=None, seed=None, coarse_window: int = 64,
-                   caching_strategy: str = "direct", **kwargs) -> None:
+                   caching_strategy: str = "direct", tile_size: int = 2048,
+                   **kwargs) -> None:
     world = WorldPipeline.from_pretrained(model_path, seed=seed,
                                           caching_strategy=caching_strategy, **kwargs)
     if caching_strategy == "direct":
@@ -24,11 +25,12 @@ def generate_world(model_path: str, hdf5_file=None, seed=None, coarse_window: in
         print(f"World seed: {world.seed}")
         ci0, ci1 = -coarse_window, coarse_window
         cj0, cj1 = -coarse_window, coarse_window
-        tile_size = 2048
-        pbar = tqdm(total=((ci1 - ci0) // 8) * ((cj1 - cj0) // 8),
+        step = max(tile_size // 256, 1)  # loop unit is coarse cells (256 px)
+        pbar = tqdm(total=((ci1 - ci0 + step - 1) // step)
+                    * ((cj1 - cj0 + step - 1) // step),
                     desc="Generating world")
-        for i in range(ci0, ci1, tile_size // 256):
-            for j in range(cj0, cj1, tile_size // 256):
+        for i in range(ci0, ci1, step):
+            for j in range(cj0, cj1, step):
                 world.residual[:, i * 256:i * 256 + tile_size,
                                j * 256:j * 256 + tile_size]
                 pbar.update(1)

@@ -376,3 +376,35 @@ def test_plan_grows_atlas_instead_of_thrashing():
     np.testing.assert_allclose(np.asarray(child[tuple(slice(a, b) for a, b in region)]),
                                np.asarray(child_big[tuple(slice(a, b) for a, b in region)]),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_atlas_stays_single_device_under_mesh_writes():
+    """A mesh-sharded stage batch written into the pool must NOT replicate
+    the pool across the mesh (round 5: an uncommitted atlas was silently
+    replicated N-fold by the first sharded write — N x HBM for one cache).
+    The batch reshards to the pool's device instead."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from terrain_diffusion_tpu.parallel.mesh import make_mesh
+    from terrain_diffusion_tpu.runtime.infinite_tensor import DeviceTileAtlas
+
+    n = jax.device_count()
+    assert n >= 2, "virtual mesh required (conftest sets 8 CPU devices)"
+    mesh = make_mesh(n)
+    at = DeviceTileAtlas(16)
+    batch = jax.device_put(
+        jnp.arange(n * 12, dtype=jnp.float32).reshape(n, 3, 4),
+        NamedSharding(mesh, P("data")))
+    at.put_batch([(0, i, 0) for i in range(n)], batch)
+
+    arr = at._atlas
+    assert len(arr.sharding.device_set) == 1, (
+        f"atlas replicated across {len(arr.sharding.device_set)} devices")
+    # round-trip correctness through the single-device pool
+    slots = [at.slot((0, i, 0)) for i in range(n)]
+    got = at.fetch_rows(slots)
+    import numpy as np
+    np.testing.assert_array_equal(
+        got, np.arange(n * 12, dtype=np.float32).reshape(n, 3, 4))

@@ -308,3 +308,65 @@ def test_http_benchmark_real_sockets(pipe):
         assert lvl["requests"] == int(c) * 2
         assert lvl["requests_per_sec"] > 0
         assert lvl["latency_p50_s"] > 0
+
+
+def test_world_generator_populates_persistent_store(tmp_path, monkeypatch):
+    """`generate` CLI core (reference `world_generator.py:8-76`): walking
+    residual slices over the coarse window persists every generated tile
+    into the HDF5 world store."""
+    import h5py
+
+    from terrain_diffusion_tpu.pipeline.world import WorldPipeline
+    from terrain_diffusion_tpu.serving import world_generator as wg
+
+    def fake_from_pretrained(model_path, seed=None, caching_strategy="direct",
+                             **kwargs):
+        kwargs.pop("log_mode", None)
+        p = WorldPipeline(seed=seed or 99, latents_batch_size=[1, 2, 4],
+                          decoder_tile_size=64, decoder_tile_stride=48,
+                          caching_strategy=caching_strategy, **kwargs)
+        return p.set_models(*tiny_models(decoder_tile=64))
+
+    monkeypatch.setattr(wg.WorldPipeline, "from_pretrained",
+                        staticmethod(fake_from_pretrained))
+    h5 = str(tmp_path / "world.h5")
+    wg.generate_world("unused", hdf5_file=h5, seed=7, coarse_window=1,
+                      caching_strategy="indirect", tile_size=128)
+
+    with h5py.File(h5, "r") as f:
+        names = []
+        f.visit(lambda n: names.append(n) if isinstance(
+            f.get(n, getclass=True), type) and f.get(n, getclass=True)
+            is h5py.Dataset else None)
+        datasets = [n for n in names]
+    assert datasets, "generator must persist tiles into the world store"
+
+
+def test_random_sampler_yields_separated_finite_tiles(pipe):
+    """Land-biased random sampling (reference `random_sampler.py:17-239`):
+    yields n tiles at centers separated by >= `separation`, each a full
+    elev+climate region."""
+    from terrain_diffusion_tpu.serving.random_sampler import sample_random_tiles
+
+    tiles = list(sample_random_tiles(pipe, n=2, tile=24, seed=3,
+                                     separation=2 * 256))
+    assert len(tiles) == 2
+    (ci0, cj0), (ci1, cj1) = tiles[0]["center"], tiles[1]["center"]
+    assert max(abs(ci0 - ci1), abs(cj0 - cj1)) >= 2 * 256
+    for t in tiles:
+        assert t["elev"].shape == (24, 24)
+        assert np.isfinite(t["elev"]).all()
+        assert t["climate"].shape[1:] == (24, 24)
+
+
+def test_relief_map_renders_rgb():
+    """Relief renderer: multi-azimuth hillshade over synthetic terrain
+    produces an (H, W, 3) uint8 image with real shading variation."""
+    from terrain_diffusion_tpu.serving.relief_map import get_relief_map
+
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float32)
+    elev = 800 * np.sin(xx / 9.0) * np.cos(yy / 7.0) + 200
+    img = np.asarray(get_relief_map(elev))
+    assert img.shape == (64, 64, 3)
+    assert img.min() >= 0.0 and img.max() <= 1.0  # float RGB in [0, 1]
+    assert img.std() > 0.02  # not a flat fill
