@@ -584,11 +584,13 @@ def main():
     if not b.decoder:
         b.notes.append("decoder64xla failed/timed out: "
                        + LAST_FAILURE.get("decoder64xla", "?"))
+    base_tag = "combo:coarse,decoder64xla,base192"  # who last tried base
     if not b.base:
         for width in (192, 128, 64):
             if b.remaining() < 60:
                 break
-            b.base = run_stage(f"base{width}", min(420.0, b.remaining()))
+            base_tag = f"base{width}"
+            b.base = run_stage(base_tag, min(420.0, b.remaining()))
             if b.base:
                 if width != 192:
                     b.notes.append(f"base model measured at {width}ch "
@@ -597,7 +599,7 @@ def main():
         b.emit()
     if not b.base:
         b.notes.append("base stage failed/timed out: "
-                       + LAST_FAILURE.get("base192", "?"))
+                       + LAST_FAILURE.get(base_tag, "?"))
 
     # 5. decoder Pallas upgrade attempt — only with leftover budget, and it
     # must BEAT the XLA number to be adopted (round-2 lesson: a hung Mosaic

@@ -56,7 +56,7 @@ def run_latency(world, n_runs: int = 10, tile: int = 512, separation: int = 200 
 
 def run_http_benchmark(pipeline, *, concurrency_levels=(1, 4, 8),
                        requests_per_client: int = 8, tile: int = 512,
-                       coalesce: bool = True, with_climate: bool = True,
+                       coalesce: bool = True,
                        host: str = "127.0.0.1") -> dict:
     """Requests/s through the FULL HTTP serving stack at several client
     concurrencies: `serving/api.py` endpoints (binary wire format) on the
@@ -74,31 +74,15 @@ def run_http_benchmark(pipeline, *, concurrency_levels=(1, 4, 8),
     """
     import threading
     import urllib.request
-    from wsgiref.simple_server import WSGIRequestHandler, WSGIServer, make_server
 
     from terrain_diffusion_tpu.serving import api as api_mod
 
     api_mod.configure(pipeline=pipeline, coalesce=coalesce)
-    app = api_mod.app
-
-    import socketserver
-
-    class _Server(socketserver.ThreadingMixIn, WSGIServer):
-        daemon_threads = True
-
-    class _Quiet(WSGIRequestHandler):
-        def log_message(self, *a):
-            pass
-
-    lock = threading.Lock()
-    wsgi = app.wsgi
-    if not coalesce:  # plain pipeline is not thread-safe: serialize handlers
-        def wsgi(environ, start_response, _inner=app.wsgi):
-            with lock:
-                return _inner(environ, start_response)
-
-    httpd = make_server(host, 0, wsgi, server_class=_Server,
-                        handler_class=_Quiet)
+    # the PRODUCTION server plumbing (serving/httpd.py), not a re-implementation:
+    # threaded accept; handlers run concurrently only when the coalescer
+    # makes the pipeline thread-safe, else serialized
+    httpd, _mode = api_mod.app.make_server(
+        host, 0, quiet=True, threaded=True, serialize=not coalesce)
     port = httpd.server_address[1]
     server_thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     server_thread.start()
@@ -110,10 +94,10 @@ def run_http_benchmark(pipeline, *, concurrency_levels=(1, 4, 8),
             data = r.read()
             h = int(r.headers["X-Height"])
             w = int(r.headers["X-Width"])
-        expect = h * w * 2 + (h * w * 16 if with_climate else 0)
-        if len(data) < h * w * 2 or h != tile or w != tile:
+        expect = h * w * 2 + h * w * 16  # int16 elev + 4-ch f32 climate
+        if len(data) != expect or h != tile or w != tile:
             raise AssertionError(
-                f"bad payload: {len(data)} bytes (>= {expect} expected), "
+                f"bad payload: {len(data)} bytes ({expect} expected), "
                 f"{h}x{w}")
         return len(data)
 
@@ -234,8 +218,7 @@ def main(model_path, runs, tile, batch_size, seed, dtype, with_climate,
                       with_climate=with_climate, grid_aligned=grid_aligned)
     if http_mode:
         out["http"] = run_http_benchmark(
-            world, tile=tile, requests_per_client=http_requests,
-            with_climate=True)
+            world, tile=tile, requests_per_client=http_requests)
     print(json.dumps(out, indent=2))
 
 

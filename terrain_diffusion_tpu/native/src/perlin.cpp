@@ -67,16 +67,17 @@ float perlin_single(int32_t seed, float x, float y) {
   return lerp(xf0, xf1, ys) * 1.4247691104677813f;
 }
 
-// FastNoiseLite's CalculateFractalBounding, verbatim: amp multiplies BEFORE
-// accumulating (sum = 1 + g^2 + ... + g^octaves, no g^1 term) — kept
-// bit-faithful to the published implementation; see ops/perlin.py.
+// FBm octave normalizer 1/(1+g+...+g^(octaves-1)) — exact amplitude sum.
+// Must stay bit-identical to ops/perlin.py::fractal_bounding (see its
+// docstring for the FastNoiseLite statement-order ambiguity and why the
+// conditioning path is made invariant to this constant).
 inline float fractal_bounding(int octaves, float gain) {
   float g = std::fabs(gain);
   float amp = g;
   float amp_fractal = 1.0f;
   for (int i = 1; i < octaves; ++i) {
-    amp *= g;
     amp_fractal += amp;
+    amp *= g;
   }
   return 1.0f / amp_fractal;
 }

@@ -70,21 +70,29 @@ def _perlin_single_np(seed: np.int32, x: np.ndarray, y: np.ndarray) -> np.ndarra
 
 
 def fractal_bounding(octaves: int, gain: float) -> float:
-    """FastNoiseLite's CalculateFractalBounding, verbatim: amp starts at
-    |gain| and is multiplied BEFORE accumulating, so the sum is
-    1 + g^2 + ... + g^octaves (the g^1 term is absent).  That under-counts
-    the true amplitude sum — a quirk of the published implementation, kept
-    bit-faithfully because the reference's stats JSON bakes this constant
-    into its noise quantile tables (pyfastnoiselite; synthetic_map.py:45-51),
-    and a mismatched constant would skew any pipeline fed those tables.
-    (The quantile transform cancels the constant whenever tables and fields
-    come from the SAME implementation — see test_synthetic_map's
-    scale-invariance test.)"""
+    """FBm octave normalizer: 1 / (1 + g + ... + g^(octaves-1)) — the exact
+    amplitude sum, keeping |FBm| <= max|single noise| as FastNoiseLite's
+    documented -1..1 output contract requires.
+
+    KNOWN AMBIGUITY (round 5, unresolvable offline): the exact statement
+    order inside FastNoiseLite's CalculateFractalBounding (accumulate-then-
+    multiply vs multiply-then-accumulate, amp initialized to |gain|) decides
+    whether the sum is 1+g+...+g^(o-1) or 1+g^2+...+g^o — a pure constant
+    per (octaves, gain), ~25% apart at defaults.  Neither pyfastnoiselite
+    nor the FastNoiseLite source is reachable in this environment, and two
+    independent recollections disagreed, so this repo (a) keeps the exact
+    normalization, and (b) makes the conditioning path INVARIANT to the
+    constant: synthetic-map noise quantile tables are always recomputed
+    from this implementation (see make_synthetic_map_factory), and the
+    quantile transform cancels any uniform noise scaling when tables and
+    fields share an implementation (test_quantile_transform_cancels_noise_
+    scale).  The residual exposure is absolute-scale consumers only (the
+    Minecraft detail-noise amplitudes)."""
     g = abs(gain)
     amp, amp_fractal = g, 1.0
     for _ in range(1, octaves):
-        amp *= g
         amp_fractal += amp
+        amp *= g
     return 1.0 / amp_fractal
 
 

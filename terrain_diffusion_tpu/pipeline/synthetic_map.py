@@ -230,9 +230,17 @@ def make_synthetic_map_factory(
     chans = []
     for i, (freq_base, octaves, lac, gain) in enumerate(_MAP_CONFIGS):
         freq = freq_base * frequency_mult[i]
-        nq = stats.get(f"noise_quantiles_{i}")
-        if nq is None:
-            nq = _noise_quantiles(freq, octaves, lac, gain)
+        # Noise quantile tables are ALWAYS recomputed from this repo's own
+        # Perlin rather than trusted from the stats source: the table is a
+        # pure function of (noise implementation, freq, octaves, lac, gain)
+        # — seed-independent — so recomputing is semantically identical
+        # when the implementations match, and corrective when they differ
+        # by a uniform scale (e.g. the FastNoiseLite fractal-bounding
+        # statement-order ambiguity, ops/perlin.py::fractal_bounding).
+        # The data-side tables (real-raster quantiles) are taken from the
+        # stats source verbatim — they are the valuable, impl-independent
+        # part.
+        nq = _noise_quantiles(freq, octaves, lac, gain)
         bq = np.asarray(stats[f"base_image_quantiles_{i}"], dtype=np.float64)
         chans.append((actual_seeds[i], freq, octaves, lac, gain, np.asarray(nq), bq))
 

@@ -80,9 +80,12 @@ class DeviceTileAtlas:
             # one cache); committed, mesh batches reshard to the pool's
             # device on write (see put_batch) and per-device memory stays
             # flat as the mesh grows.
+            # local_devices()[0], not devices()[0]: on a multi-host mesh
+            # the global device list starts with host 0's devices, which
+            # other processes cannot commit arrays to
             self._atlas = jax.device_put(
                 jnp.zeros((self.capacity, *row_shape), jnp.float32),
-                jax.devices()[0])
+                jax.local_devices()[0])
             self._free = list(range(self.capacity - 1, -1, -1))
 
     def grow_to(self, n_tiles: int, row_shape: tuple | None = None) -> int:

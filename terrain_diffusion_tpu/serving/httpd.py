@@ -131,15 +131,19 @@ class App:
                        list(resp.headers.items()))
         return [resp.body]
 
-    def run(self, host: str = "0.0.0.0", port: int = 8000, quiet: bool = False,
-            threaded: bool = False, serialize: bool = True):
-        """Serve forever.  threaded=True accepts concurrent clients; with
-        serialize=True handler execution is serialized by a lock (pipeline
-        tile stores never race — the reference's single-threaded-Flask
-        contract, minus accept blocking).  serialize=False runs handlers
-        concurrently — only valid when they are thread-safe (e.g. the
-        pipeline is wrapped in serving.coalesce.CoalescedPipeline, which
-        coalesces concurrent tile requests into shared stage batches)."""
+    def make_server(self, host: str = "0.0.0.0", port: int = 8000,
+                    quiet: bool = False, threaded: bool = False,
+                    serialize: bool = True):
+        """Build (but do not start) the WSGI server; returns
+        ``(httpd, mode)``.  The one place the threading contract lives:
+        threaded=True accepts concurrent clients; with serialize=True
+        handler execution is serialized by a lock (pipeline tile stores
+        never race — the reference's single-threaded-Flask contract, minus
+        accept blocking).  serialize=False runs handlers concurrently —
+        only valid when they are thread-safe (e.g. the pipeline is wrapped
+        in serving.coalesce.CoalescedPipeline, which coalesces concurrent
+        tile requests into shared stage batches).  port=0 binds an
+        ephemeral port (``httpd.server_address[1]``)."""
         import socketserver
         import threading
 
@@ -169,7 +173,15 @@ class App:
             else:
                 app_fn = inner
                 mode = "threaded (coalesced pipeline)"
-        with make_server(host, port, app_fn, server_class=server_cls,
-                         handler_class=handler_cls) as httpd:
+        httpd = make_server(host, port, app_fn, server_class=server_cls,
+                            handler_class=handler_cls)
+        return httpd, mode
+
+    def run(self, host: str = "0.0.0.0", port: int = 8000, quiet: bool = False,
+            threaded: bool = False, serialize: bool = True):
+        """Serve forever (see make_server for the threading contract)."""
+        httpd, mode = self.make_server(host, port, quiet=quiet,
+                                       threaded=threaded, serialize=serialize)
+        with httpd:
             print(f"* Serving {self.name} on http://{host}:{port} ({mode})")
             httpd.serve_forever()

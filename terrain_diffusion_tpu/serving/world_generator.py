@@ -21,11 +21,16 @@ def generate_world(model_path: str, hdf5_file=None, seed=None, coarse_window: in
         world.bind(hdf5_file=hdf5_file)
     else:
         world.bind(hdf5_file or "TEMP")
+    if tile_size < 256 or tile_size % 256:
+        # the walk strides in coarse cells (256 px); a tile smaller than
+        # the stride would leave permanent ungenerated gaps in the store
+        raise ValueError(f"tile_size must be a positive multiple of 256, "
+                         f"got {tile_size}")
     with world:
         print(f"World seed: {world.seed}")
         ci0, ci1 = -coarse_window, coarse_window
         cj0, cj1 = -coarse_window, coarse_window
-        step = max(tile_size // 256, 1)  # loop unit is coarse cells (256 px)
+        step = tile_size // 256  # loop unit is coarse cells (256 px)
         pbar = tqdm(total=((ci1 - ci0 + step - 1) // step)
                     * ((cj1 - cj0 + step - 1) // step),
                     desc="Generating world")

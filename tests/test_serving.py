@@ -331,7 +331,7 @@ def test_world_generator_populates_persistent_store(tmp_path, monkeypatch):
                         staticmethod(fake_from_pretrained))
     h5 = str(tmp_path / "world.h5")
     wg.generate_world("unused", hdf5_file=h5, seed=7, coarse_window=1,
-                      caching_strategy="indirect", tile_size=128)
+                      caching_strategy="indirect", tile_size=256)
 
     with h5py.File(h5, "r") as f:
         names = []
@@ -340,6 +340,11 @@ def test_world_generator_populates_persistent_store(tmp_path, monkeypatch):
             is h5py.Dataset else None)
         datasets = [n for n in names]
     assert datasets, "generator must persist tiles into the world store"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="multiple of 256"):
+        wg.generate_world("unused", hdf5_file=str(tmp_path / "w2.h5"),
+                          caching_strategy="indirect", tile_size=128)
 
 
 def test_random_sampler_yields_separated_finite_tiles(pipe):

