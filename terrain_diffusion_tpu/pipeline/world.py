@@ -1125,7 +1125,12 @@ class WorldPipeline:
         out_win = TensorWindow((2, TILE, TILE), (2, STRIDE, STRIDE))
         in_win = TensorWindow((6, TILE // lc, TILE // lc),
                               (6, STRIDE // lc, STRIDE // lc))
-        dec_buckets = self._mesh_buckets((1, 2, 4, 8))
+        # bucket 16 included deliberately: at b16 XLA's convs reach 15.63
+        # ms/img vs 16.81 at b8 (util_scripts/bucket_microbench.py, v5e) and
+        # steady serving rows carry 23-46 decoder windows, so the largest
+        # chunks ride the cheaper program (~5% decoder-stage saving; the
+        # Pallas kernel still serves b<8 via its batch-cutover eligibility)
+        dec_buckets = self._mesh_buckets((1, 2, 4, 8, 16))
         return InfiniteTensor(
             shape=(2, None, None), f=f,
             f_fused=f_fused if self.mesh is None else None,
@@ -1501,6 +1506,9 @@ class WorldPipeline:
         (the reference serves strictly sequentially — Flask threaded=False,
         `api.py:249` — so this path has no reference counterpart to match,
         only to beat)."""
+        from terrain_diffusion_tpu.runtime.infinite_tensor import (
+            ensure_regions_multi)
+
         scale = self.latent_compression
         res_list, lat_list, coarse_list = [], [], []
         for (i1, j1, i2, j2) in queries:
@@ -1509,10 +1517,15 @@ class WorldPipeline:
             lat_list.append(lat_ranges)
             if with_climate:
                 coarse_list.append(self._climate_ranges(i1, j1, i2, j2, scale))
-        self.residual.ensure_regions(res_list)
-        self.latents.ensure_regions(lat_list)
+        # ONE plan across all three roots: latent/coarse windows the compose
+        # reads directly merge into the same stage batches as the residual
+        # stage's parents (separate per-root plans left them to a late,
+        # padded second pass — measured as trailing 12/9-window
+        # step_latent_map dispatches per 3-row steady period)
+        reqs = [(self.residual, res_list), (self.latents, lat_list)]
         if coarse_list:
-            self.coarse.ensure_regions(coarse_list)
+            reqs.append((self.coarse, coarse_list))
+        ensure_regions_multi(reqs)
 
     def _compose_grouped(self, queries, with_climate: bool,
                          pack_wire: bool = False):

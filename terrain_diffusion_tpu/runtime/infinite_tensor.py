@@ -441,24 +441,7 @@ class InfiniteTensor:
         pass: missing windows across the regions merge into shared stage
         batches (the cross-request coalescing primitive — N concurrent tile
         queries dispatch the same few large programs one query would)."""
-        need: dict[int, set] = {}
-        tensors: dict[int, InfiniteTensor] = {}
-        touched: dict[int, set] = {}
-        idxs = set()
-        for ranges in ranges_list:
-            idxs |= set(self.output_window.windows_overlapping(ranges))
-        self._collect_needed(idxs, need, tensors, touched)
-        for t in self._topo_order():
-            # size the HBM pool to this plan's simultaneous working set —
-            # otherwise planned windows are evicted before their consumer
-            # stage runs and every miss recomputes one window at a time
-            tt = touched.get(id(t))
-            if tt and t.device_cache is not None:
-                t.device_cache.grow_to(len(tt) + 8,
-                                       tuple(t.output_window.size))
-            n = need.get(id(t))
-            if n:
-                t._evaluate_windows(sorted(n))
+        ensure_regions_multi([(self, ranges_list)])
 
     def _contains(self, idx) -> bool:
         """A window is available if the host store has it OR a device-cache
@@ -693,3 +676,50 @@ class InfiniteTensor:
                 dst_sl.append(slice(o0 - a, o1 - a))
             out[tuple(dst_sl)] += arr[tuple(src_sl)]
         return out
+
+
+def ensure_regions_multi(requests):
+    """Plan + evaluate every window needed by ALL `(tensor, ranges_list)`
+    requests in ONE coalesced pass over the shared dependency DAG.
+
+    A sequence of per-tensor `ensure_regions` calls plans each root
+    separately, so a window one root needs only directly (e.g. the latent
+    regions the output composition reads) lands in its own late, padded
+    dispatch after the stage that also consumes that tensor as a parent has
+    already run.  Merging the roots folds those windows into the same stage
+    batches (measured on the steady serving row: the trailing
+    `step_latent_map` dispatches of 12/9 windows per 3-row period disappear
+    into the main batches — see BENCH_NOTES round 5)."""
+    need: dict[int, set] = {}
+    tensors: dict[int, InfiniteTensor] = {}
+    touched: dict[int, set] = {}
+    roots = []
+    for tensor, ranges_list in requests:
+        idxs = set()
+        for ranges in ranges_list:
+            idxs |= set(tensor.output_window.windows_overlapping(ranges))
+        tensor._collect_needed(idxs, need, tensors, touched)
+        roots.append(tensor)
+    order, seen = [], set()
+
+    def visit(t):
+        if id(t) in seen:
+            return
+        seen.add(id(t))
+        for a in t.args:
+            visit(a)
+        order.append(t)
+
+    for r in roots:
+        visit(r)
+    for t in order:
+        # size the HBM pool to this plan's simultaneous working set —
+        # otherwise planned windows are evicted before their consumer
+        # stage runs and every miss recomputes one window at a time
+        tt = touched.get(id(t))
+        if tt and t.device_cache is not None:
+            t.device_cache.grow_to(len(tt) + 8,
+                                   tuple(t.output_window.size))
+        n = need.get(id(t))
+        if n:
+            t._evaluate_windows(sorted(n))

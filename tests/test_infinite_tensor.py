@@ -408,3 +408,57 @@ def test_atlas_stays_single_device_under_mesh_writes():
     import numpy as np
     np.testing.assert_array_equal(
         got, np.arange(n * 12, dtype=np.float32).reshape(n, 3, 4))
+
+
+def test_ensure_regions_multi_merges_roots():
+    """A multi-root plan folds windows one root reads directly into the
+    SAME parent-stage evaluation pass another root triggers (mirrors
+    WorldPipeline.prefetch: compose-read latent regions vs the residual
+    stage's latent parents), with results identical to sequential
+    per-root ensure_regions."""
+    from terrain_diffusion_tpu.runtime.infinite_tensor import (
+        ensure_regions_multi)
+
+    def build():
+        store = MemoryTileStore()
+        parent = _noise_window_tensor(store)
+
+        def child_f(ctx, parent_region):
+            vals = normalize_weighted(parent_region)[:1] * 2.0
+            w = np.ones((1, 16, 16), dtype=np.float32)
+            return np.concatenate([vals * w, w], axis=0)
+
+        child = InfiniteTensor(
+            (2, None, None), child_f,
+            TensorWindow((2, 16, 16), (2, 16, 16)),
+            args=(parent,),
+            args_windows=(TensorWindow((3, 16, 16), (3, 16, 16)),),
+            tile_store=store, tensor_id="child")
+        return parent, child
+
+    def spy(tensor, log):
+        orig = tensor._evaluate_windows
+        tensor._evaluate_windows = lambda idxs: (log.append(list(idxs)),
+                                                 orig(idxs))[1]
+
+    child_box = [(0, 2), (0, 32), (0, 32)]
+    parent_box = [(0, 3), (0, 96), (0, 96)]  # needs windows beyond child's
+
+    # sequential per-root plans: the parent evaluates in TWO passes
+    p1, c1 = build()
+    seq_log = []
+    spy(p1, seq_log)
+    c1.ensure_regions([child_box])
+    p1.ensure_regions([parent_box])
+    assert len(seq_log) == 2 and seq_log[1]  # late second parent pass
+
+    # merged plan: ONE parent pass covering the union
+    p2, c2 = build()
+    multi_log = []
+    spy(p2, multi_log)
+    ensure_regions_multi([(c2, [child_box]), (p2, [parent_box])])
+    assert len(multi_log) == 1
+    assert sorted(multi_log[0]) == sorted(set(seq_log[0]) | set(seq_log[1]))
+
+    np.testing.assert_array_equal(c1[:, 0:32, 0:32], c2[:, 0:32, 0:32])
+    np.testing.assert_array_equal(p1[:, 0:96, 0:96], p2[:, 0:96, 0:96])
