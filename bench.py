@@ -556,9 +556,10 @@ def main():
     # persist to the shared cache, making the end-of-run retry cheap.
     # Budgeting (round-5 measurements, fully cache-warm): the e2e run
     # needs ~350-420 s — cached program LOADS through the remote tunnel
-    # cost 10-20 s each — while the warm stage combo takes ~200-300 s and
-    # the Pallas upgrade ~120-270 s, so the cap leans toward the e2e
-    # completing in ONE attempt (a retry repays the program loads).
+    # cost 10-20 s each — while the warm 4-stage combo (incl. the Pallas
+    # decoder, which shares the subprocess) takes ~300-450 s, so the cap
+    # leans toward the e2e completing in ONE attempt (a retry repays the
+    # program loads).
     e2e_cap = min(max(b.remaining() - 420.0, 180.0), 520.0)
     if b.remaining() > 300:
         b.e2e = run_e2e(e2e_cap)
@@ -570,26 +571,42 @@ def main():
     # between fitting the budget and not.  The combo flushes incrementally;
     # a timeout keeps every completed stage, and the individual fallbacks
     # below re-attempt only what is missing.
-    combo = run_stage("combo:coarse,decoder64xla,base192",
-                      min(700.0, b.remaining()))
+    # decoder64 (Pallas) rides LAST in the same combo: the incremental
+    # flush means a hung Mosaic compile there costs nothing already
+    # measured, and sharing the subprocess skips a second 100-200 s device
+    # init + cache-load bill — the round-5 check run lost the Pallas
+    # number because the standalone upgrade's budget gate (>150 s) failed
+    # silently after a slow combo.
+    combo_tag = "combo:coarse,decoder64xla,base192,decoder64"
+    combo = run_stage(combo_tag, min(700.0, b.remaining()))
+
+    def _why(stage_tag):
+        # a stage that only ever ran inside the combo has its failure
+        # recorded under the combo's tag, not its own
+        return LAST_FAILURE.get(stage_tag) or LAST_FAILURE.get(combo_tag, "?")
+
     combo = combo if isinstance(combo, dict) and "stage" not in combo else {}
     b.coarse = combo.get("coarse")
     b.decoder = combo.get("decoder64xla")
     b.base = combo.get("base192")
+    combo_pallas = combo.get("decoder64")
+    if combo_pallas and (not b.decoder or combo_pallas["sec_per_call"]
+                         < b.decoder["sec_per_call"]):
+        b.decoder = combo_pallas
     b.emit()
     if not b.coarse and b.remaining() > 60:
         b.coarse = run_stage("coarse", min(300.0, b.remaining()))
         b.emit()
     if not b.coarse:
         b.notes.append("coarse stage failed/timed out: "
-                       + LAST_FAILURE.get("coarse", "?"))
+                       + _why("coarse"))
     if not b.decoder and b.remaining() > 60:
         b.decoder = run_stage("decoder64xla", min(300.0, b.remaining()))
         b.emit()
     if not b.decoder:
         b.notes.append("decoder64xla failed/timed out: "
-                       + LAST_FAILURE.get("decoder64xla", "?"))
-    base_tag = "combo:coarse,decoder64xla,base192"  # who last tried base
+                       + _why("decoder64xla"))
+    base_tag = combo_tag  # who last tried base
     if not b.base:
         for width in (192, 128, 64):
             if b.remaining() < 60:
@@ -604,21 +621,28 @@ def main():
         b.emit()
     if not b.base:
         b.notes.append("base stage failed/timed out: "
-                       + LAST_FAILURE.get(base_tag, "?"))
+                       + _why(base_tag))
 
     # 5. decoder Pallas upgrade attempt — only with leftover budget, and it
     # must BEAT the XLA number to be adopted (round-2 lesson: a hung Mosaic
     # remote compile here must not cost the bench its output).  The e2e
     # stage already ran first, so a hang here can no longer cost it; a
     # cache-warm upgrade takes ~120 s.
-    if b.remaining() > 150:
+    already_pallas = bool(b.decoder) and b.decoder["stage"] == "decoder64"
+    if already_pallas:
+        pass  # the combo already measured + adopted the Pallas variant
+    elif b.remaining() > 150:
         pallas = run_stage("decoder64", min(b.remaining() - 30.0, 360.0))
         if pallas and (not b.decoder
                        or pallas["sec_per_call"] < b.decoder["sec_per_call"]):
             b.decoder = pallas
         elif not pallas:
             b.notes.append("pallas decoder upgrade skipped: "
-                           + LAST_FAILURE.get("decoder64", "?"))
+                           + _why("decoder64"))
+        b.emit()
+    else:
+        b.notes.append("pallas decoder upgrade not attempted "
+                       f"(leftover budget {b.remaining():.0f}s <= 150s)")
         b.emit()
 
     # 6. second chance: retry any failed stage with the leftover budget
