@@ -150,8 +150,8 @@ def _run_unet(stage):
         use_xla = spec.endswith("xla")
         mc = int(spec[:-3] if use_xla else spec)
         # serving default (WorldPipeline block_impl) is fused Pallas
-        # residual blocks; the *xla variant is the cache-warm fallback that
-        # runs FIRST so a hung Mosaic remote compile can't zero the bench
+        # residual blocks; the *xla variant is the hang-proof fallback the
+        # runner uses when the Pallas stage fails or wedges
         bk = {} if use_xla else {"block_impl": "pallas"}
         model = EDMUnet2D(EDMUnetConfig(
             image_size=512, in_channels=5, out_channels=1, model_channels=mc,
@@ -370,6 +370,12 @@ _E2E_CONTRACT_KEY = "e2e_steady_device_tiles_per_sec"
 # stage looked identical to a timeout because stderr was discarded).
 LAST_FAILURE: dict = {}
 
+# subprocess poll interval (seconds); tests shrink it to exercise the
+# watchdog without multi-second waits
+_POLL_S = 5.0
+# give up after this many wedged-connection retries of one subprocess
+_MAX_ATTEMPTS = 3
+
 
 def _run_sub(argv_payload, timeout_s: float, tag: str = "stage",
              init_grace_s: float = 150.0, stall_s: float = 450.0):
@@ -421,7 +427,7 @@ def _run_sub(argv_payload, timeout_s: float, tag: str = "stage",
                 last_mtime, last_change = None, t0
                 while True:
                     try:
-                        rc = proc.wait(timeout=5.0)
+                        rc = proc.wait(timeout=_POLL_S)
                         break
                     except subprocess.TimeoutExpired:
                         pass
@@ -465,7 +471,8 @@ def _run_sub(argv_payload, timeout_s: float, tag: str = "stage",
             got = _parse()
             if got:
                 best = {**best, **got}
-            if not wedged or deadline - time.monotonic() < 90:
+            if (not wedged or attempt >= _MAX_ATTEMPTS
+                    or deadline - time.monotonic() < 90):
                 break
             # retry on a fresh connection with the remaining budget
         return best or None

@@ -69,15 +69,16 @@ BASE = {"stage": "base192", "batch": 16, "steps": 1,
         "sec_per_call": 0.020, "rtt_s": 0.03, "model_channels": 192}
 
 
-def test_combo_success_and_pallas_upgrade(monkeypatch):
+COMBO_TAG = "combo:coarse,base192,decoder64"
+
+
+def test_combo_success_measures_pallas(monkeypatch):
     lines = _run_main(monkeypatch, {
-        "combo:coarse,decoder64xla,base192": {
-            "coarse": COARSE, "decoder64xla": DEC_XLA, "base192": BASE},
-        "decoder64": DEC_PAL,
+        COMBO_TAG: {"coarse": COARSE, "base192": BASE, "decoder64": DEC_PAL},
     })
     final = lines[-1]
     d = final["detail"]
-    assert d["decoder_variant"] == "decoder64"  # upgrade adopted (faster)
+    assert d["decoder_variant"] == "decoder64"  # serving default, in-combo
     assert d["decoder_b2_fwd_ms"] == pytest.approx(36.6)
     # composite: 1 decoder + 4.5 latent + 0.3 coarse forwards per tile
     t_tile = 0.0366 / 2 + 4.5 * 0.020 / 16 + 0.3 * 0.019 / 4
@@ -86,23 +87,24 @@ def test_combo_success_and_pallas_upgrade(monkeypatch):
     assert "partial" not in final
 
 
-def test_slower_pallas_not_adopted(monkeypatch):
-    slow = dict(DEC_PAL, sec_per_call=0.09)
+def test_decoder_xla_fallback_when_pallas_fails(monkeypatch):
     lines = _run_main(monkeypatch, {
-        "combo:coarse,decoder64xla,base192": {
-            "coarse": COARSE, "decoder64xla": DEC_XLA, "base192": BASE},
-        "decoder64": slow,
+        COMBO_TAG: {"coarse": COARSE, "base192": BASE},
+        "decoder64xla": DEC_XLA,
     })
-    assert lines[-1]["detail"]["decoder_variant"] == "decoder64xla"
+    final = lines[-1]
+    assert final["detail"]["decoder_variant"] == "decoder64xla"
+    assert any(n.startswith("decoder measured with XLA fallback")
+               for n in final["detail"]["notes"])
+    assert "tiles_per_sec_per_chip" in final["detail"]
 
 
 def test_combo_partial_falls_back_per_stage(monkeypatch):
     # combo died after coarse; decoder/base must be re-attempted singly
     lines = _run_main(monkeypatch, {
-        "combo:coarse,decoder64xla,base192": {"coarse": COARSE},
+        COMBO_TAG: {"coarse": COARSE},
         "decoder64xla": DEC_XLA,
         "base192": BASE,
-        "decoder64": None,
     })
     d = lines[-1]["detail"]
     assert d["decoder_variant"] == "decoder64xla"
@@ -120,17 +122,15 @@ def test_total_failure_still_emits(monkeypatch):
 
 def test_e2e_fields_merged(monkeypatch):
     lines = _run_main(monkeypatch, {
-        "combo:coarse,decoder64xla,base192": {
-            "coarse": COARSE, "decoder64xla": DEC_XLA, "base192": BASE},
-        "decoder64": DEC_PAL,
+        COMBO_TAG: {"coarse": COARSE, "base192": BASE, "decoder64": DEC_PAL},
     }, e2e_result={"e2e_steady_device_tiles_per_sec": 21.9})
     assert lines[-1]["detail"]["e2e_steady_device_tiles_per_sec"] == 21.9
 
 
 def test_every_line_is_valid_json_with_metric(monkeypatch):
     lines = _run_main(monkeypatch, {
-        "combo:coarse,decoder64xla,base192": {"coarse": COARSE},
-        "decoder64xla": None, "base192": None, "decoder64": None,
+        COMBO_TAG: {"coarse": COARSE},
+        "decoder64xla": None, "base192": None,
     })
     for l in lines:
         assert set(l) >= {"metric", "value", "unit", "vs_baseline", "detail"}
@@ -143,9 +143,9 @@ def test_e2e_runs_before_stages(monkeypatch):
 
     def fake_run_stage(stage, timeout_s):
         calls.append(("stage", stage))
-        return {"combo:coarse,decoder64xla,base192": {
-            "coarse": COARSE, "decoder64xla": DEC_XLA, "base192": BASE},
-            "decoder64": DEC_PAL}.get(stage)
+        return {COMBO_TAG: {
+            "coarse": COARSE, "base192": BASE,
+            "decoder64": DEC_PAL}}.get(stage)
 
     def fake_run_e2e(timeout_s):
         calls.append(("e2e", timeout_s))
@@ -178,9 +178,8 @@ def test_incomplete_e2e_gets_completion_pass(monkeypatch):
 
     monkeypatch.setattr(bench, "run_e2e", lambda t: next(e2e_results))
     monkeypatch.setattr(bench, "run_stage", lambda s, t: {
-        "combo:coarse,decoder64xla,base192": {
-            "coarse": COARSE, "decoder64xla": DEC_XLA, "base192": BASE},
-        "decoder64": DEC_PAL}.get(s))
+        COMBO_TAG: {"coarse": COARSE, "base192": BASE,
+                    "decoder64": DEC_PAL}}.get(s))
     monkeypatch.setattr(bench, "probe_devices",
                         lambda t: {"platform": "tpu", "n": 1})
     out = io.StringIO()
@@ -198,9 +197,8 @@ def test_never_complete_e2e_is_noted_with_phase(monkeypatch):
                "phase": "wire_warm"}
     monkeypatch.setattr(bench, "run_e2e", lambda t: dict(partial))
     monkeypatch.setattr(bench, "run_stage", lambda s, t: {
-        "combo:coarse,decoder64xla,base192": {
-            "coarse": COARSE, "decoder64xla": DEC_XLA, "base192": BASE},
-        "decoder64": DEC_PAL}.get(s))
+        COMBO_TAG: {"coarse": COARSE, "base192": BASE,
+                    "decoder64": DEC_PAL}}.get(s))
     monkeypatch.setattr(bench, "probe_devices",
                         lambda t: {"platform": "tpu", "n": 1})
     out = io.StringIO()
@@ -212,3 +210,52 @@ def test_never_complete_e2e_is_noted_with_phase(monkeypatch):
     assert d["e2e_device_tiles_per_sec"] == 20.5
     assert d["e2e_partial_phase"] == "wire_warm"
     assert any("incomplete" in n and "wire_warm" in n for n in d["notes"])
+
+
+WEDGE_NO_FLUSH = "import time\ntime.sleep(600)"
+WEDGE_AFTER_FLUSH = ("import json, os, sys, time\n"
+                     "p = sys.argv[1]\n"
+                     "open(p + '.tmp', 'w').write(json.dumps({'a': 1}))\n"
+                     "os.replace(p + '.tmp', p)\n"
+                     "time.sleep(600)")
+
+
+def test_watchdog_kills_connection_that_never_flushes(monkeypatch):
+    """Round-5 wedge mode: a subprocess that never produces its first flush
+    (connection wedged at device init) must be killed at init_grace, not
+    ride out the whole hard timeout."""
+    monkeypatch.setattr(bench, "_POLL_S", 0.1)
+    import time as _time
+    t0 = _time.monotonic()
+    got = bench._run_sub([WEDGE_NO_FLUSH], timeout_s=60.0, tag="wedge-test",
+                         init_grace_s=1.0, stall_s=2.0)
+    elapsed = _time.monotonic() - t0
+    assert got is None
+    # killed after ~1s grace per attempt (up to _MAX_ATTEMPTS), not 60s
+    assert elapsed < 30
+    assert "wedged connection killed" in bench.LAST_FAILURE["wedge-test"]
+    assert "no first flush" in bench.LAST_FAILURE["wedge-test"]
+
+
+def test_watchdog_keeps_flushed_results_across_stall_kill(monkeypatch):
+    """A subprocess that flushes partial results then stalls is killed on the
+    stall window and its flushed results survive the kill (and any retry)."""
+    monkeypatch.setattr(bench, "_POLL_S", 0.1)
+    monkeypatch.setattr(bench, "_MAX_ATTEMPTS", 1)
+    got = bench._run_sub([WEDGE_AFTER_FLUSH], timeout_s=60.0,
+                         tag="stall-test", init_grace_s=5.0, stall_s=1.0)
+    assert got == {"a": 1}
+    assert "no progress for" in bench.LAST_FAILURE["stall-test"]
+
+
+def test_run_stage_filters_marker_only_results(monkeypatch):
+    """A stage whose subprocess only got as far as the watchdog progress
+    markers must report as failed (None), not as a result dict missing
+    'sec_per_call' (which would crash the composite math)."""
+    monkeypatch.setattr(bench, "_run_sub",
+                        lambda *a, **k: {"phase": "device_up"})
+    assert bench.run_stage("coarse", 100.0) is None
+    # combo results keyed by stage names pass through untouched
+    monkeypatch.setattr(bench, "_run_sub",
+                        lambda *a, **k: {"coarse": COARSE})
+    assert bench.run_stage(COMBO_TAG, 100.0) == {"coarse": COARSE}
