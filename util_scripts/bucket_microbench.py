@@ -3,8 +3,8 @@ stage programs at candidate batch buckets, to pick serving bucket lists.
 
 Variants (marginal on-device time via bench.py's chained-scan protocol):
   base192  b16 (current latent bucket max) vs b32
-  decoder64 XLA b8 (current decoder bucket max, at the Pallas batch
-  cutover) vs XLA b16 vs Pallas b4
+  decoder64 XLA b8 (the Pallas batch cutover) vs XLA b16 (current
+  decoder bucket max) vs XLA b32 vs Pallas b4
 
 Usage: timeout 1800 python util_scripts/bucket_microbench.py
 NOTE: never run concurrently with the CPU-mesh test suite.
@@ -90,5 +90,6 @@ run_unet("base192", BASE, 32, 64, 5, 58, 8)
 run_unet("base192", BASE, 64, 64, 5, 58, 4)
 run_unet("decoder64-xla", DEC, 8, 512, 5, 0, 4)
 run_unet("decoder64-xla", DEC, 16, 512, 5, 0, 2)
+run_unet("decoder64-xla", DEC, 32, 512, 5, 0, 2)
 run_unet("decoder64-pallas", {**DEC, "block_kwargs": {"block_impl": "pallas"}},
          4, 512, 5, 0, 4)
